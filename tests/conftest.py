@@ -1,0 +1,40 @@
+"""Shared test configuration.
+
+Forces 8 virtual CPU devices to exist (alongside any real TPU) so that
+multi-chip sharding tests run anywhere, mirroring the reference's approach of
+instantiating one generic suite per backend
+(/root/reference/kzg-bench/src/tests/).
+"""
+
+import os
+
+# Must run before jax is imported anywhere.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def oracle_settings():
+    from kzg_tpu.oracle.kzg import load_trusted_setup_file
+    from kzg_tpu.utils.vectors import trusted_setup_path
+
+    return load_trusted_setup_file(trusted_setup_path())
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--all-vectors",
+        action="store_true",
+        default=os.environ.get("KZG_ALL_VECTORS", "") == "1",
+        help="run every consensus-spec vector (slow on the oracle backend)",
+    )
+
+
+@pytest.fixture(scope="session")
+def all_vectors(request):
+    return request.config.getoption("--all-vectors")
