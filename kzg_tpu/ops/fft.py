@@ -1,0 +1,134 @@
+"""Device (TPU) radix-2 FFT over Fr, in limb representation.
+
+TPU-first design (NOT the reference's recursive fork-join,
+/root/reference/blst/src/fft_fr.rs): an *iterative* decimation-in-time
+butterfly network. Each stage is one batched Montgomery multiply over n/2
+lanes plus one add and one sub -- a shape XLA fuses into a handful of VPU
+loops. The stage loop is unrolled at trace time (log2(n) <= 20 stages), all
+shapes are static, and the bit-reversal permutation is a host-precomputed
+gather index.
+
+Values are (L=16, *batch, n) uint32 limb arrays in Montgomery form, so a
+whole batch of blobs is transformed by the same traced program (the batch
+dims shard across chips; the transform axis stays local).
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R_MOD as R, root_of_unity
+from . import field as fl
+from .field import FR
+
+
+def brp_indices(n: int) -> np.ndarray:
+    """Bit-reversal permutation indices (parity:
+    /root/reference/kzg/src/common_utils.rs:6-34)."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool):
+    """Per-stage Montgomery-form twiddle tables.
+
+    Stage s (s = 0..log_n-1) has butterfly half-width h = 2^s and uses the
+    2^(s+1)-th root of unity; returns a tuple of (L, h) numpy arrays.
+    """
+    out = []
+    for s in range(log_n):
+        h = 1 << s
+        w = root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, R - 2, R)
+        tw = 1
+        vals = []
+        for _ in range(h):
+            vals.append(tw)
+            tw = tw * w % R
+        r = 1 << (fl.LIMB_BITS * FR.n_limbs)
+        mont = [v * r % R for v in vals]
+        out.append(fl.ints_to_limbs(mont, FR.n_limbs))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _n_inv_mont(n: int) -> tuple:
+    r = 1 << (fl.LIMB_BITS * FR.n_limbs)
+    v = pow(n, R - 2, R) * r % R
+    return tuple(int(x) for x in fl.int_to_limbs(v, FR.n_limbs))
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Radix-2 FFT along the last axis.
+
+    x: (L, *batch, n) Montgomery-form Fr limbs; n a power of two.
+    Semantics parity: fft_fr /root/reference/blst/src/fft_fr.rs:112-154
+    (forward = natural-order roots; inverse = reversed roots + 1/n scale).
+    """
+    n = x.shape[-1]
+    assert n & (n - 1) == 0, "fft: length must be a power of two"
+    log_n = n.bit_length() - 1
+    L = FR.n_limbs
+    batch = x.shape[1:-1]
+    nb = len(batch)
+
+    # bit-reversal permutation (gather with a host-constant index vector)
+    x = jnp.take(x, jnp.asarray(brp_indices(n)), axis=-1)
+
+    tws = _stage_twiddles(log_n, inverse)
+    for s in range(log_n):
+        h = 1 << s
+        blocks = n >> (s + 1)
+        x = x.reshape((L,) + batch + (blocks, 2, h))
+        a = x[..., 0, :]
+        b = x[..., 1, :]
+        tw = jnp.asarray(tws[s]).reshape((L,) + (1,) * (nb + 1) + (h,))
+        t = fl.mont_mul(FR, b, jnp.broadcast_to(tw, b.shape))
+        x = jnp.stack([fl.add(FR, a, t), fl.sub(FR, a, t)], axis=-2)
+        x = x.reshape((L,) + batch + (n,))
+    if inverse:
+        ninv = jnp.asarray(
+            np.array(_n_inv_mont(n), dtype=np.uint32)
+        ).reshape((L,) + (1,) * nb + (1,))
+        x = fl.mont_mul(FR, x, jnp.broadcast_to(ninv, x.shape))
+    return x
+
+
+def ifft(x: jnp.ndarray) -> jnp.ndarray:
+    return fft(x, inverse=True)
+
+
+@jax.jit
+def das_extension(evens: jnp.ndarray) -> jnp.ndarray:
+    """Erasure-coding extension: given evaluations of a degree<n polynomial
+    on the n-domain (= even indices of the 2n-domain), return the odd-index
+    evaluations (parity: /root/reference/blst/src/data_availability_sampling.rs).
+    """
+    n = evens.shape[-1]
+    coeffs = ifft(evens)
+    padded = jnp.concatenate([coeffs, jnp.zeros_like(coeffs)], axis=-1)
+    full = fft(padded)
+    return full[..., 1::2]
+
+
+# ---------------------------------------------------------------------------
+# Host conversions
+# ---------------------------------------------------------------------------
+
+
+def fr_from_ints(vals) -> jnp.ndarray:
+    """Python ints -> (L, n) Montgomery device limbs."""
+    return FR.encode(list(vals))
+
+
+def fr_to_ints(x) -> list:
+    return FR.decode(x)

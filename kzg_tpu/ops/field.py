@@ -503,6 +503,78 @@ def inv(spec: FieldSpec, a) -> jnp.ndarray:
     return pow_fixed(spec, a, spec.modulus - 2)
 
 
+def sum_tree(spec: FieldSpec, a) -> jnp.ndarray:
+    """Sum along the last axis in log depth; returns (..., 1)."""
+    n = a.shape[-1]
+    m = 1 << max(0, (n - 1)).bit_length()
+    if m != n:
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, m - n)]
+        a = jnp.pad(a, pad)
+    while m > 1:
+        h = m // 2
+        a = add(spec, a[..., :h], a[..., h : 2 * h])
+        m = h
+    return a
+
+
+def to_canonical(spec: FieldSpec, a) -> jnp.ndarray:
+    """Montgomery form -> canonical limbs (multiply by 1 = Montgomery reduce)."""
+    one_raw = np.zeros(spec.n_limbs, dtype=np.uint32)
+    one_raw[0] = 1
+    c = jnp.asarray(one_raw).reshape((spec.n_limbs,) + (1,) * (a.ndim - 1))
+    return mont_mul(spec, a, jnp.broadcast_to(c, a.shape))
+
+
+def from_canonical(spec: FieldSpec, a) -> jnp.ndarray:
+    """Canonical limbs -> Montgomery form (multiply by R^2)."""
+    return mul_const(spec, a, spec.r2_limbs)
+
+
+def batch_inv_tree(spec: FieldSpec, a, zero_to_one: bool = False):
+    """Batch inversion over the last axis in log depth (product tree).
+
+    The classic Montgomery trick (batch_inv below) is a sequential chain --
+    fine on a CPU, latency-disastrous for a 100k-lane device batch. Here:
+    up-sweep pairwise products (log n batched muls), one Fermat inversion at
+    the root, down-sweep distributing inverses (2 muls per level).
+    Work ~3n muls, depth ~2 log n + one pow.
+
+    Returns (inverses, was_zero); zeros are replaced by one before inversion.
+    """
+    L = spec.n_limbs
+    was_zero = is_zero(spec, a)
+    onec = jnp.asarray(spec.one_mont).reshape((L,) + (1,) * (a.ndim - 1))
+    safe = jnp.where(was_zero[None], jnp.broadcast_to(onec, a.shape), a)
+
+    n = a.shape[-1]
+    m = 1 << max(0, (n - 1)).bit_length()
+    if m != n:
+        pad_width = [(0, 0)] * (a.ndim - 1) + [(0, m - n)]
+        pad_ones = jnp.broadcast_to(onec, a.shape[:-1] + (m - n,))
+        safe = jnp.concatenate([safe, pad_ones], axis=-1)
+
+    # up-sweep: levels[k] has m >> k entries
+    levels = [safe]
+    cur = safe
+    while cur.shape[-1] > 1:
+        cur = mont_mul(spec, cur[..., 0::2], cur[..., 1::2])
+        levels.append(cur)
+
+    inv_cur = inv(spec, levels[-1])
+    for k in range(len(levels) - 2, -1, -1):
+        lvl = levels[k]
+        # inv of left child = parent_inv * right child; right = parent_inv * left
+        left, right = lvl[..., 0::2], lvl[..., 1::2]
+        inv_left = mont_mul(spec, inv_cur, right)
+        inv_right = mont_mul(spec, inv_cur, left)
+        inv_cur = jnp.stack([inv_left, inv_right], axis=-1).reshape(lvl.shape)
+
+    out = inv_cur[..., :n]
+    if zero_to_one:
+        out = jnp.where(was_zero[None], jnp.broadcast_to(onec, a.shape), out)
+    return out, was_zero
+
+
 def batch_inv(spec: FieldSpec, a, zero_to_one: bool = False):
     """Montgomery-trick batch inversion over the last axis.
 

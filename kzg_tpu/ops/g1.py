@@ -221,7 +221,7 @@ def to_affine(p: G1XYZZ) -> G1Aff:
     t = fl.mont_mul(FP, p.zz, p.zzz)
     batch = t.shape[1:]
     flat = t.reshape(FP.n_limbs, -1)
-    tinv, _ = fl.batch_inv(FP, flat, zero_to_one=True)
+    tinv, _ = fl.batch_inv_tree(FP, flat, zero_to_one=True)
     tinv = tinv.reshape((FP.n_limbs,) + batch)
     zz_inv = fl.mont_mul(FP, tinv, p.zzz)  # 1/zz
     zzz_inv = fl.mont_mul(FP, tinv, p.zz)  # 1/zzz

@@ -1,0 +1,322 @@
+"""Device (TPU) multi-scalar multiplication: Pippenger reformulated for SIMD.
+
+The reference's MSM hot loop (/root/reference/kzg/src/msm/) is a branchy,
+data-dependent bucket scatter on a thread pool -- unusable on a vector
+machine. The TPU-native formulation used here:
+
+  1. Scalars -> signed window digits (integer limb ops, fully vectorized).
+  2. Bucket accumulation = sort-by-bucket + *segmented tree reduction*: sort
+     the (window, bucket) keys once, then reduce runs of equal keys with a
+     log-depth `jax.lax.associative_scan` over the complete-addition monoid.
+     Every step is a batched unified XYZZ add over the full element set --
+     no scatter conflicts, no branches.
+  3. Bucket integration (sum_b b * S_b) = one reversed associative scan over
+     the bucket axis plus a log-depth tree reduction.
+  4. Window combination = Horner with c doublings per window (variable-base),
+     or eliminated entirely by a fixed-base precomputed table holding
+     2^(c*j) * P_i for every window j (the BGMW analog,
+     /root/reference/kzg/src/msm/bgmw.rs -- HBM is plentiful on TPU).
+
+Leading batch dimensions (many independent MSMs, e.g. the 128 FK20 column
+MSMs or the 3 batch-verification MSMs) are folded into the sort key, so a
+whole family of MSMs runs as ONE sort + ONE scan.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as fl
+from . import g1
+from .field import FP, FR
+from .g1 import G1Aff, G1XYZZ
+
+
+def default_window(n: int, fixed_base: bool) -> int:
+    """Window-size heuristic (cost model analog of
+    /root/reference/kzg/src/msm/bgmw.rs:102-135). Segmented-scan work is
+    ~2*(n*w) + 2*2^(c-1) unified adds; minimize over c, avoiding c | 255."""
+    best_c, best_cost = 4, float("inf")
+    for c in range(4, 17):
+        if 255 % c == 0:
+            continue
+        w = -(-255 // c)
+        cost = 2 * n * w + 2 * (1 << (c - 1))
+        if not fixed_base:
+            cost += 255 + w  # Horner doubling chain
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
+def num_windows(c: int) -> int:
+    w = -(-255 // c)
+    assert 255 % c != 0, "255 % c == 0 would overflow the top signed digit"
+    return w
+
+
+def signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Canonical Fr limbs (16, *batch) -> signed window digits (w, *batch).
+
+    Digits lie in [-2^(c-1), 2^(c-1)] (booth-style: digit > 2^(c-1) borrows
+    from the next window; the top window absorbs the carry without
+    overflowing because 255 % c != 0).
+    """
+    w = num_windows(c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    digits = []
+    for j in range(w):
+        bit_lo = c * j
+        limb = bit_lo // 16
+        sh = bit_lo % 16
+        raw = scalars[limb] >> sh
+        have = 16 - sh
+        k = 1
+        while have < c and limb + k < scalars.shape[0]:
+            raw = raw | (scalars[limb + k] << have)
+            have += 16
+            k += 1
+        digits.append((raw & (full - 1)).astype(jnp.int32))
+    out = []
+    carry = jnp.zeros_like(digits[0])
+    for j in range(w):
+        d = digits[j] + carry
+        wrap = d > half
+        out.append(jnp.where(wrap, d - full, d))
+        carry = wrap.astype(jnp.int32)
+    return jnp.stack(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Segmented reduction over the complete-addition monoid
+# ---------------------------------------------------------------------------
+
+
+def _seg_combine(a, b):
+    """Segmented-monoid combine for associative_scan: carry a 'segment start'
+    flag (kept 2-D so every scan leaf has equal rank); a right element that
+    starts a segment ignores the left prefix."""
+    pa, fa = a
+    pb, fb = b
+    s = g1.add_unified(pa, pb)
+    p = g1.select_point(fb[0], pb, s)
+    return p, jnp.logical_or(fa, fb)
+
+
+def segment_sum_points(points: G1XYZZ, keys: jnp.ndarray, n_keys: int) -> G1XYZZ:
+    """Sum points sharing the same key. `keys` must be SORTED ascending,
+    shape (E,); points have batch shape (E,). Returns (…, n_keys) sums
+    (identity for empty keys)."""
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]]
+    )[None, :]
+    scanned, _ = jax.lax.associative_scan(_seg_combine, (points, first), axis=-1)
+    last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    # scatter each segment's total (at its last position) into the key slot;
+    # non-last positions go to a dump slot n_keys.
+    idx = jnp.where(last, keys, n_keys)
+    out = g1.infinity((n_keys + 1,))
+    out = G1XYZZ(
+        out.x.at[:, idx].set(scanned.x),
+        out.y.at[:, idx].set(scanned.y),
+        out.zz.at[:, idx].set(scanned.zz),
+        out.zzz.at[:, idx].set(scanned.zzz),
+    )
+    return G1XYZZ(*(c[..., :n_keys] for c in out))
+
+
+def integrate_buckets(buckets: G1XYZZ) -> G1XYZZ:
+    """sum_b b * buckets[..., b] over the last axis, where index 0 has weight
+    0 (parity: bucket integration, msm/tiling_pippenger_ops.rs:21-45).
+    Suffix-scan formulation: sum_b b*S_b = sum_{k>=1} (sum_{b>=k} S_b)."""
+    tail = G1XYZZ(*(c[..., 1:] for c in buckets))
+    suffix = jax.lax.associative_scan(
+        g1.add_unified, tail, axis=-1, reverse=True
+    )
+    return g1.tree_reduce(suffix, unroll=True)
+
+
+def _dbl_n(p: G1XYZZ, n: int) -> G1XYZZ:
+    for _ in range(n):
+        p = g1.dbl(p)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# MSM entry points
+# ---------------------------------------------------------------------------
+
+
+def msm(
+    points: G1Aff,
+    scalars: jnp.ndarray,
+    c: Optional[int] = None,
+) -> G1XYZZ:
+    """Variable-base MSM. points: affine batch (…, *batch, n); scalars:
+    canonical Fr limbs (16, *batch, n). Returns XYZZ sums of batch shape
+    (*batch,). All leading batch dims are independent MSMs fused into one
+    sort + one scan.
+    (parity: msm() /root/reference/kzg/src/msm/msm_impls.rs:113-148)"""
+    if c is None:
+        c = default_window(points.x.shape[-1], fixed_base=False)
+    return _msm_jit(points, scalars, c)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _msm_jit(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
+    n = points.x.shape[-1]
+    batch = points.x.shape[1:-1]
+    nb = int(np.prod(batch)) if batch else 1
+    w = num_windows(c)
+    half = 1 << (c - 1)
+
+    digits = signed_digits(scalars, c)  # (w, *batch, n)
+    digits = digits.reshape(w, nb, n)
+    xs = points.x.reshape(FP.n_limbs, nb, n)
+    ys = points.y.reshape(FP.n_limbs, nb, n)
+    infs = points.inf.reshape(nb, n)
+
+    E = nb * w * n
+    # element e = (b, j, i): key = ((b * w + j) * (half + 1)) + bucket
+    sign = digits < 0
+    bucket = jnp.abs(digits)  # (w, nb, n)
+    yneg = fl.neg(FP, ys)
+    # broadcast points across windows: (L, w, nb, n)
+    ex = jnp.broadcast_to(xs[:, None], (FP.n_limbs, w, nb, n))
+    ey = jnp.where(sign[None], yneg[:, None], ys[:, None])
+    einf = jnp.broadcast_to(infs[None], (w, nb, n))
+
+    seg = (
+        jnp.arange(nb, dtype=jnp.int32)[None, :, None] * w
+        + jnp.arange(w, dtype=jnp.int32)[:, None, None]
+    )
+    keys = seg * (half + 1) + bucket  # (w, nb, n)
+
+    flat_keys = keys.reshape(E)
+    order = jnp.argsort(flat_keys)
+    sorted_keys = flat_keys[order]
+    px = ex.reshape(FP.n_limbs, E)[:, order]
+    py = ey.reshape(FP.n_limbs, E)[:, order]
+    pinf = einf.reshape(E)[order]
+
+    pts = g1.from_affine(G1Aff(px, py, pinf))
+    n_keys = nb * w * (half + 1)
+    sums = segment_sum_points(pts, sorted_keys, n_keys)
+    buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums))
+
+    win = integrate_buckets(buckets)  # (L, nb, w, 1)
+    win = G1XYZZ(*(cc[..., 0] for cc in win))  # (L, nb, w)
+
+    # Horner over windows, high to low
+    acc = G1XYZZ(*(cc[..., w - 1] for cc in win))
+    for j in range(w - 2, -1, -1):
+        acc = _dbl_n(acc, c)
+        acc = g1.add_unified(acc, G1XYZZ(*(cc[..., j] for cc in win)))
+    if batch:
+        return G1XYZZ(*(cc.reshape((FP.n_limbs,) + batch) for cc in acc))
+    return G1XYZZ(*(cc[..., 0] for cc in acc))
+
+
+class FixedBaseTable(NamedTuple):
+    """Precomputed window multiples 2^(c*j) * P_i (BGMW analog,
+    /root/reference/kzg/src/msm/bgmw.rs:206). x/y: (L, w, n); inf: (w, n)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray
+    c: int
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[-1]
+
+
+def build_fixed_base_table(points: G1Aff, c: Optional[int] = None) -> FixedBaseTable:
+    """One-time per-setup precompute: w batched doubling chains + a single
+    batch affine conversion (tree batch-inverse)."""
+    n = points.x.shape[-1]
+    if c is None:
+        c = default_window(n, fixed_base=True)
+    x, y, inf = _build_table_jit(points, c)
+    return FixedBaseTable(x, y, inf, c)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _build_table_jit(points: G1Aff, c: int):
+    w = num_windows(c)
+    cur = g1.from_affine(points)
+    rows = [cur]
+    for _ in range(w - 1):
+        cur = _dbl_n(cur, c)
+        rows.append(cur)
+    stacked = G1XYZZ(*(jnp.stack([r[k] for r in rows], axis=1) for k in range(4)))
+    aff = g1.to_affine(stacked)
+    return aff.x, aff.y, aff.inf
+
+
+def msm_fixed(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
+    """Fixed-base MSM against a precomputed table: window combination is
+    free (the table already holds 2^(c*j)-multiples), so the whole MSM is
+    one segmented reduction over a single bucket space -- no doubling chain.
+
+    scalars: canonical Fr limbs (16, *batch, n) with n == table.n; leading
+    batch dims are independent MSMs over the same base points."""
+    return _msm_fixed_jit(table.x, table.y, table.inf, scalars, table.c)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _msm_fixed_jit(
+    tab_x: jnp.ndarray,
+    tab_y: jnp.ndarray,
+    tab_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int,
+) -> G1XYZZ:
+    table = FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    w = num_windows(c)
+    half = 1 << (c - 1)
+    n = table.n
+    batch = scalars.shape[1:-1]
+    nb = int(np.prod(batch)) if batch else 1
+
+    digits = signed_digits(scalars, c).reshape(w, nb, n)
+    sign = digits < 0
+    bucket = jnp.abs(digits)
+
+    tx = table.x  # (L, w, n)
+    ty = table.y
+    tyneg = fl.neg(FP, ty)
+    ex = jnp.broadcast_to(tx[:, :, None, :], (FP.n_limbs, w, nb, n))
+    ey = jnp.where(
+        sign[None],
+        jnp.broadcast_to(tyneg[:, :, None, :], (FP.n_limbs, w, nb, n)),
+        jnp.broadcast_to(ty[:, :, None, :], (FP.n_limbs, w, nb, n)),
+    )
+    einf = jnp.broadcast_to(table.inf[:, None, :], (w, nb, n))
+
+    # key space: per-batch buckets (windows share buckets -- the table rows
+    # already carry the 2^(c*j) factor)
+    bidx = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
+    keys = bidx * (half + 1) + jnp.transpose(bucket, (0, 1, 2))
+
+    E = nb * w * n
+    flat_keys = keys.reshape(E)
+    order = jnp.argsort(flat_keys)
+    sorted_keys = flat_keys[order]
+    px = ex.reshape(FP.n_limbs, E)[:, order]
+    py = ey.reshape(FP.n_limbs, E)[:, order]
+    pinf = einf.reshape(E)[order]
+
+    pts = g1.from_affine(G1Aff(px, py, pinf))
+    sums = segment_sum_points(pts, sorted_keys, nb * (half + 1))
+    buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
+
+    acc = integrate_buckets(buckets)  # (L, nb, 1)
+    acc = G1XYZZ(*(cc[..., 0] for cc in acc))
+    if batch:
+        return G1XYZZ(*(cc.reshape((FP.n_limbs,) + batch) for cc in acc))
+    return G1XYZZ(*(cc[..., 0] for cc in acc))
