@@ -1,0 +1,78 @@
+"""Headline benchmark: G1 fixed-base MSM over 4096 points (the kernel inside
+blob_to_kzg_commitment / compute_kzg_proof) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: blst single-core g1_lincomb(4096) = 54.6 ms = ~75k points/s
+(/root/repo/BASELINE.md); vs_baseline = our points/s divided by that.
+
+Extra diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BLST_1CORE_PTS_PER_S = 4096 / 54.6e-3  # ≈ 75,018
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kzg_tpu.constants import R_MOD as R
+    from kzg_tpu.ops import msm as dmsm
+    from kzg_tpu.ops.field import ints_to_limbs
+    from kzg_tpu.settings import load_settings
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    s = load_settings()
+    table = s.lagrange_table
+    print(f"setup + table: {time.time()-t0:.1f}s (c={table.c})", file=sys.stderr)
+
+    n = 4096
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    rng = np.random.default_rng(42)
+    scalars = [
+        [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+        for _ in range(batch)
+    ]
+    sc_np = np.stack([ints_to_limbs(si, 16) for si in scalars], axis=1)
+    sc = jnp.asarray(sc_np if batch > 1 else sc_np[:, 0, :])
+
+    # warmup / compile
+    t0 = time.time()
+    out = dmsm.msm_fixed(table, sc)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.time()
+    for _ in range(iters):
+        out = dmsm.msm_fixed(table, sc)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    pts_per_s = n * batch / dt
+    print(
+        f"msm_fixed n={n} batch={batch}: {dt*1e3:.2f} ms "
+        f"({pts_per_s/1e3:.0f}k pts/s)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "g1_msm_fixed_4096_points_per_sec_per_chip",
+                "value": round(pts_per_s, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_s / BLST_1CORE_PTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

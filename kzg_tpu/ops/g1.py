@@ -291,6 +291,29 @@ def tree_reduce(p: G1XYZZ, unroll: bool = False) -> G1XYZZ:
     return G1XYZZ(*(c[..., :1] for c in p))
 
 
+def suffix_scan_add(p: G1XYZZ) -> G1XYZZ:
+    """Inclusive reverse (suffix) cumulative point sum along the last axis.
+
+    Hillis-Steele with jnp.roll inside a fori_loop: one traced addition for
+    the whole scan (n log n work, log n depth) -- chosen for compile-time
+    economy over the work-efficient recursion; the scanned axis here is the
+    bucket axis, which is small relative to the element axis."""
+    n = p.x.shape[-1]
+    if n == 1:
+        return p
+    rounds = (n - 1).bit_length()
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(d, q):
+        s = jnp.int32(1) << d
+        rolled = G1XYZZ(*(jnp.roll(c, -s, axis=-1) for c in q))
+        added = add_unified(q, rolled)
+        keep = idx <= jnp.int32(n - 1) - s  # lanes with a valid right partner
+        return select_point(keep, added, q)
+
+    return jax.lax.fori_loop(0, rounds, body, p)
+
+
 def msm_ladder(points: G1Aff, scalar_limbs: jnp.ndarray) -> G1XYZZ:
     """MSM for small n: per-lane ladder then tree reduction. Returns a
     single-point batch of shape (..., 1)."""

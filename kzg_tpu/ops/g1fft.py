@@ -1,0 +1,166 @@
+"""Device radix-2 FFT over G1 points.
+
+The reference's fft_g1 (/root/reference/blst/src/fft_g1.rs) is the same
+butterfly recursion as fft_fr except the twiddle multiply is a full scalar
+multiplication. TPU-first formulation here:
+
+  - iterative stage loop (log2 n stages, static shapes);
+  - the per-stage twiddle scalars are HOST CONSTANTS (roots of unity), so
+    their signed window digits are precomputed into small device tables and
+    the scalar-mul ladder becomes: build 2^(c-1) batched multiples of the
+    half being twiddled (15 unified adds at c=5), then a fori_loop over
+    windows doing [c doublings + one digit-gathered mixed add] on all lanes
+    at once;
+  - everything batches over leading dims, so the FK20 pipeline runs its
+    G1 FFTs for a whole family of blobs in one traced program.
+
+FK20 keeps these FFTs at size 128 (the reference's 18.8s fft_g1 at 2^15 is
+exactly the path this design avoids, see SURVEY.md section 6).
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R_MOD as R, root_of_unity
+from . import field as fl
+from . import g1
+from .field import FP
+from .g1 import G1XYZZ
+
+TWIDDLE_WINDOW = 5  # digits in [-16, 16]
+
+
+def _signed_digits_host(value: int, c: int):
+    """Booth-style signed c-bit windows of a 255-bit scalar, host-side."""
+    w = -(-255 // c)
+    half, full = 1 << (c - 1), 1 << c
+    digits = []
+    carry = 0
+    for j in range(w):
+        d = ((value >> (c * j)) & (full - 1)) + carry
+        if d > half:
+            d -= full
+            carry = 1
+        else:
+            carry = 0
+        digits.append(d)
+    assert carry == 0 or value >> (c * w) == 0
+    return digits
+
+
+@lru_cache(maxsize=None)
+def _stage_digit_tables(log_n: int, inverse: bool, c: int = TWIDDLE_WINDOW):
+    """Per-stage (w, h) bucket-index and sign tables for the twiddle scalars
+    w^0..w^(h-1) of stage s (h = 2^s)."""
+    out = []
+    for s in range(log_n):
+        h = 1 << s
+        wroot = root_of_unity(s + 1)
+        if inverse:
+            wroot = pow(wroot, R - 2, R)
+        tw = 1
+        digs, signs = [], []
+        for _ in range(h):
+            d = _signed_digits_host(tw, c)
+            digs.append([abs(x) for x in d])
+            signs.append([x < 0 for x in d])
+            tw = tw * wroot % R
+        # shape (w, h)
+        out.append(
+            (
+                np.array(digs, dtype=np.int32).T.copy(),
+                np.array(signs, dtype=bool).T.copy(),
+            )
+        )
+    return tuple(out)
+
+
+def _mul_fixed_scalars(p: G1XYZZ, digits: np.ndarray, signs: np.ndarray) -> G1XYZZ:
+    """Multiply each lane of p (batch …, h) by a per-lane fixed scalar given
+    as signed window digits ((w, h) host constants), windowed double-and-add
+    over precomputed multiples."""
+    c = TWIDDLE_WINDOW
+    half = 1 << (c - 1)
+    w = digits.shape[0]
+    h = digits.shape[1]
+    batch = p.x.shape[1:]
+
+    # multiples[m] = m * p for m in 0..half (16 batched adds at c=5)
+    cur = g1.infinity(batch)
+    rows = [cur]
+    for _ in range(half):
+        cur = g1.add_unified(cur, p)
+        rows.append(cur)
+    mult = G1XYZZ(*(jnp.stack([r[k] for r in rows], axis=1) for k in range(4)))
+    # leaves: (L, half+1, …, h)
+
+    digs = jnp.asarray(digits)  # (w, h)
+    sgns = jnp.asarray(signs)
+
+    def gather(m, idx):
+        # m: (L, half+1, …, h); idx: (h,) -> (L, …, h)
+        idxb = jnp.broadcast_to(idx, m.shape[:1] + (1,) + m.shape[2:])
+        return jnp.take_along_axis(m, idxb, axis=1)[:, 0]
+
+    def window_step(i, acc):
+        j = w - 1 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, q: g1.dbl(q), acc)
+        idx = jax.lax.dynamic_index_in_dim(digs, j, 0, False)
+        sg = jax.lax.dynamic_index_in_dim(sgns, j, 0, False)
+        sel = G1XYZZ(*(gather(m, idx) for m in mult))
+        sel = G1XYZZ(
+            sel.x, fl.select(sg, fl.neg(FP, sel.y), sel.y), sel.zz, sel.zzz
+        )
+        return g1.add_unified(acc, sel)
+
+    return jax.lax.fori_loop(0, w, window_step, g1.infinity(batch))
+
+
+def fft_g1(p: G1XYZZ, inverse: bool = False) -> G1XYZZ:
+    """Radix-2 FFT over G1 along the last axis; n a power of two.
+    Semantics parity: fft_g1 /root/reference/blst/src/fft_g1.rs:54-83."""
+    n = p.x.shape[-1]
+    assert n & (n - 1) == 0
+    log_n = n.bit_length() - 1
+    batch = p.x.shape[1:-1]
+
+    from .fft import brp_indices
+
+    idx = jnp.asarray(brp_indices(n))
+    p = G1XYZZ(*(jnp.take(c, idx, axis=-1) for c in p))
+    tables = _stage_digit_tables(log_n, inverse)
+
+    for s in range(log_n):
+        h = 1 << s
+        blocks = n >> (s + 1)
+        parts = [c.reshape(c.shape[:-1] + (blocks, 2, h)) for c in p]
+        a = G1XYZZ(*(c[..., 0, :] for c in parts))
+        b = G1XYZZ(*(c[..., 1, :] for c in parts))
+        digs, sgns = tables[s]
+        t = _mul_fixed_scalars(b, digs, sgns)
+        lo = g1.add_unified(a, t)
+        hi = g1.add_unified(a, g1.neg(t))
+        # (…, blocks, 2, h) -> (…, n): restores the in-place DIT layout
+        p = G1XYZZ(
+            *(
+                jnp.stack([l, hh], axis=-2).reshape(
+                    l.shape[:-2] + (l.shape[-2] * 2 * l.shape[-1],)
+                )
+                for l, hh in zip(lo, hi)
+            )
+        )
+    if inverse:
+        p = _ifft_scale(p, pow(n, R - 2, R))
+    return p
+
+
+def _ifft_scale(p: G1XYZZ, ninv: int) -> G1XYZZ:
+    """Scale every lane by the fixed scalar 1/n."""
+    n = p.x.shape[-1]
+    d = np.array(_signed_digits_host(ninv, TWIDDLE_WINDOW), dtype=np.int32)
+    digits = np.broadcast_to(d[:, None], (d.shape[0], n)).copy()
+    signs = digits < 0
+    return _mul_fixed_scalars(p, np.abs(digits), signs)

@@ -96,25 +96,94 @@ def signed_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _seg_combine(a, b):
-    """Segmented-monoid combine for associative_scan: carry a 'segment start'
-    flag (kept 2-D so every scan leaf has equal rank); a right element that
-    starts a segment ignores the left prefix."""
-    pa, fa = a
-    pb, fb = b
-    s = g1.add_unified(pa, pb)
-    p = g1.select_point(fb[0], pb, s)
-    return p, jnp.logical_or(fa, fb)
+def _seg_scan_hs(points: G1XYZZ, flags: jnp.ndarray) -> G1XYZZ:
+    """Inclusive segmented scan along the last axis, Hillis-Steele with
+    jnp.roll in a fori_loop (ONE traced addition; n log n work). flags marks
+    segment starts. Used only at the small chunk-aggregate level."""
+    n = flags.shape[-1]
+    if n == 1:
+        return points
+    rounds = (n - 1).bit_length()
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(d, carry):
+        p, f = carry
+        s = jnp.int32(1) << d
+        rp = G1XYZZ(*(jnp.roll(c, s, axis=-1) for c in p))
+        rf = jnp.roll(f, s, axis=-1)
+        valid = idx >= s
+        combined = g1.add_unified(rp, p)
+        newp = g1.select_point(jnp.logical_and(valid, jnp.logical_not(f)), combined, p)
+        newf = jnp.where(valid, jnp.logical_or(f, rf), f)
+        return newp, newf
+
+    out, _ = jax.lax.fori_loop(0, rounds, body, (points, flags))
+    return out
 
 
-def segment_sum_points(points: G1XYZZ, keys: jnp.ndarray, n_keys: int) -> G1XYZZ:
+def _seg_scan_chunked(points: G1XYZZ, first: jnp.ndarray, chunk: int) -> G1XYZZ:
+    """Inclusive segmented scan over E sorted elements in three phases:
+    (1) sequential within-chunk scan -- one traced add, work E, depth K;
+    (2) segmented Hillis-Steele over the E/K chunk aggregates;
+    (3) one carry-in add for each chunk's head piece.
+    Work ~2E + (E/K)log(E/K) point adds with a constant-size traced graph --
+    the compile-time/work sweet spot the tree recursions miss."""
+    E = first.shape[-1]
+    K = min(chunk, E)
+    pad = (-E) % K
+    if pad:
+        points = G1XYZZ(*(jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)]) for c in points))
+        first = jnp.pad(first, (0, pad), constant_values=True)
+    m = (E + pad) // K
+    pts = G1XYZZ(*(c.reshape(c.shape[:-1] + (m, K)) for c in points))
+    fl2 = first.reshape(m, K)
+
+    # phase 1: sequential inclusive scan within each chunk (lanes = chunks)
+    def p1(t, p):
+        prev = G1XYZZ(*(jax.lax.dynamic_index_in_dim(c, t - 1, c.ndim - 1, False) for c in p))
+        cur = G1XYZZ(*(jax.lax.dynamic_index_in_dim(c, t, c.ndim - 1, False) for c in p))
+        comb = g1.add_unified(prev, cur)
+        newc = g1.select_point(fl2[:, t], cur, comb)
+        return G1XYZZ(
+            *(
+                jax.lax.dynamic_update_index_in_dim(c, nc, t, c.ndim - 1)
+                for c, nc in zip(p, newc)
+            )
+        )
+
+    pts = jax.lax.fori_loop(1, K, p1, pts)
+
+    # phase 2: scan the chunk aggregates (last column) with chunk-level flags
+    agg = G1XYZZ(*(c[..., K - 1] for c in pts))  # (…, m)
+    fchunk = fl2.any(axis=-1)  # (m,)
+    scanned = _seg_scan_hs(agg, fchunk)
+    # exclusive carry into chunk i = inclusive scan at i-1 (identity for i=0)
+    carry = G1XYZZ(*(jnp.roll(c, 1, axis=-1) for c in scanned))
+    carry = g1.select_point(
+        jnp.arange(m, dtype=jnp.int32) == 0, g1.infinity((m,)), carry
+    )
+
+    # phase 3: apply the carry to each chunk's head piece (elements before
+    # the first segment start of their chunk)
+    head = jnp.cumsum(fl2.astype(jnp.int32), axis=-1) == 0  # (m, K)
+    carry_b = G1XYZZ(*(c[..., :, None] for c in carry))
+    added = g1.add_unified(carry_b, pts)
+    pts = g1.select_point(head, added, pts)
+
+    out = G1XYZZ(*(c.reshape(c.shape[:-2] + (m * K,)) for c in pts))
+    if pad:
+        out = G1XYZZ(*(c[..., :E] for c in out))
+    return out
+
+
+def segment_sum_points(
+    points: G1XYZZ, keys: jnp.ndarray, n_keys: int, chunk: int = 64
+) -> G1XYZZ:
     """Sum points sharing the same key. `keys` must be SORTED ascending,
     shape (E,); points have batch shape (E,). Returns (…, n_keys) sums
     (identity for empty keys)."""
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), keys[1:] != keys[:-1]]
-    )[None, :]
-    scanned, _ = jax.lax.associative_scan(_seg_combine, (points, first), axis=-1)
+    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    scanned = _seg_scan_chunked(points, first, chunk)
     last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
     # scatter each segment's total (at its last position) into the key slot;
     # non-last positions go to a dump slot n_keys.
@@ -134,16 +203,17 @@ def integrate_buckets(buckets: G1XYZZ) -> G1XYZZ:
     0 (parity: bucket integration, msm/tiling_pippenger_ops.rs:21-45).
     Suffix-scan formulation: sum_b b*S_b = sum_{k>=1} (sum_{b>=k} S_b)."""
     tail = G1XYZZ(*(c[..., 1:] for c in buckets))
-    suffix = jax.lax.associative_scan(
-        g1.add_unified, tail, axis=-1, reverse=True
-    )
-    return g1.tree_reduce(suffix, unroll=True)
+    suffix = g1.suffix_scan_add(tail)
+    return g1.tree_reduce(suffix)
 
 
 def _dbl_n(p: G1XYZZ, n: int) -> G1XYZZ:
-    for _ in range(n):
-        p = g1.dbl(p)
-    return p
+    if n <= 3:
+        for _ in range(n):
+            p = g1.dbl(p)
+        return p
+    # fori_loop keeps the traced graph at one doubling regardless of n
+    return jax.lax.fori_loop(0, n, lambda _, q: g1.dbl(q), p)
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +238,11 @@ def msm(
 
 @partial(jax.jit, static_argnames=("c",))
 def _msm_jit(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
+    return msm_core(points, scalars, c)
+
+
+def msm_core(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
+    """Unjitted variable-base MSM body (composable under shard_map/jit)."""
     n = points.x.shape[-1]
     batch = points.x.shape[1:-1]
     nb = int(np.prod(batch)) if batch else 1
@@ -211,11 +286,18 @@ def _msm_jit(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
     win = integrate_buckets(buckets)  # (L, nb, w, 1)
     win = G1XYZZ(*(cc[..., 0] for cc in win))  # (L, nb, w)
 
-    # Horner over windows, high to low
-    acc = G1XYZZ(*(cc[..., w - 1] for cc in win))
-    for j in range(w - 2, -1, -1):
+    # Horner over windows, high to low: one traced (c doublings + add) body
+    acc0 = G1XYZZ(*(cc[..., w - 1] for cc in win))
+
+    def horner_step(i, acc):
+        j = w - 2 - i
         acc = _dbl_n(acc, c)
-        acc = g1.add_unified(acc, G1XYZZ(*(cc[..., j] for cc in win)))
+        wj = G1XYZZ(
+            *(jax.lax.dynamic_index_in_dim(cc, j, cc.ndim - 1, False) for cc in win)
+        )
+        return g1.add_unified(acc, wj)
+
+    acc = jax.lax.fori_loop(0, w - 1, horner_step, acc0)
     if batch:
         return G1XYZZ(*(cc.reshape((FP.n_limbs,) + batch) for cc in acc))
     return G1XYZZ(*(cc[..., 0] for cc in acc))
@@ -276,7 +358,12 @@ def _msm_fixed_jit(
     scalars: jnp.ndarray,
     c: int,
 ) -> G1XYZZ:
-    table = FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    return msm_fixed_core(FixedBaseTable(tab_x, tab_y, tab_inf, c), scalars)
+
+
+def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
+    """Unjitted fixed-base MSM body (composable under shard_map/jit)."""
+    c = table.c
     w = num_windows(c)
     half = 1 << (c - 1)
     n = table.n

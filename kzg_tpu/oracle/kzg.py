@@ -130,7 +130,7 @@ class KZGSettingsOracle:
     @property
     def x_ext_fft_columns(self) -> List[List[Affine]]:
         if self._x_ext_fft_columns is None:
-            self._x_ext_fft_columns = _build_x_ext_fft_columns(
+            self._x_ext_fft_columns = _x_ext_fft_columns_cached(
                 self.g1_monomial, self.cell_size
             )
         return self._x_ext_fft_columns
@@ -144,6 +144,29 @@ def _toeplitz_part_1(x: List[Affine]) -> List[Affine]:
     n = len(x)
     padded = list(x) + [None] * n
     return fft_g1(padded)
+
+
+def _x_ext_fft_columns_cached(g1_monomial, cell_size) -> List[List[Affine]]:
+    """Disk-cached FK20 column table (diskcache analog,
+    /root/reference/kzg/src/msm/diskcache.rs)."""
+    h = hashlib.sha256(
+        repr((cell_size, g1_monomial[:4], g1_monomial[-1], len(g1_monomial))).encode()
+    ).hexdigest()[:32]
+    path = os.path.join(_CACHE_DIR, f"x-ext-fft-{h}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        return [
+            [tuple(p) if p is not None else None for p in col] for col in data
+        ]
+    cols = _build_x_ext_fft_columns(g1_monomial, cell_size)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(cols, f)
+    except OSError:
+        pass
+    return cols
 
 
 def _build_x_ext_fft_columns(g1_monomial, cell_size) -> List[List[Affine]]:

@@ -1,0 +1,111 @@
+"""Device-side KZG settings: trusted setup resident in HBM as limb arrays
+plus precomputed fixed-base MSM tables, with an on-disk cache keyed by the
+setup content hash (checkpoint/resume analog of the reference's MSM table
+disk cache, /root/reference/kzg/src/msm/diskcache.rs).
+
+The oracle settings object rides along for the host-side pieces (G2 points,
+pairing checks, byte serialization of commitments).
+"""
+
+import hashlib
+import os
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import FIELD_ELEMENTS_PER_BLOB, R_MOD as R
+from .oracle.kzg import KZGSettingsOracle, load_trusted_setup_file
+from .ops import g1 as dg1
+from .ops import msm as dmsm
+from .ops.field import FR, ints_to_limbs
+
+_CACHE_DIR = os.environ.get(
+    "KZG_TPU_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "kzg_tpu")
+)
+_TABLE_FORMAT_VERSION = 1
+
+
+def _table_cache_path(tag: str, content_hash: str, c: int) -> str:
+    return os.path.join(
+        _CACHE_DIR, f"kzg-tpu.table.v{_TABLE_FORMAT_VERSION}.{tag}.{c}.{content_hash}.npz"
+    )
+
+
+def _points_hash(points) -> str:
+    h = hashlib.sha256()
+    for p in points:
+        if p is None:
+            h.update(b"\x00" * 96)
+        else:
+            h.update(p[0].to_bytes(48, "big"))
+            h.update(p[1].to_bytes(48, "big"))
+    return h.hexdigest()[:32]
+
+
+def build_table_cached(
+    points, tag: str, c: Optional[int] = None
+) -> dmsm.FixedBaseTable:
+    """Fixed-base table for a list of oracle affine points, cached on disk."""
+    n = len(points)
+    if c is None:
+        c = dmsm.default_window(n, fixed_base=True)
+    chash = _points_hash(points)
+    path = _table_cache_path(tag, chash, c)
+    if os.path.exists(path):
+        data = np.load(path)
+        return dmsm.FixedBaseTable(
+            jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["inf"]), c
+        )
+    aff = dg1.affine_from_ints(points)
+    table = dmsm.build_fixed_base_table(aff, c=c)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez(
+            path,
+            x=np.asarray(table.x),
+            y=np.asarray(table.y),
+            inf=np.asarray(table.inf),
+        )
+    except OSError:
+        pass
+    return table
+
+
+@dataclass
+class DeviceKZGSettings:
+    """Trusted setup resident on device + host-side oracle companion."""
+
+    oracle: KZGSettingsOracle
+
+    @cached_property
+    def lagrange_table(self) -> dmsm.FixedBaseTable:
+        """Fixed-base table over the bit-reversed Lagrange setup (the base
+        of every blob commitment/proof MSM)."""
+        return build_table_cached(self.oracle.g1_lagrange_brp, "lagrange_brp")
+
+    @cached_property
+    def monomial_table(self) -> dmsm.FixedBaseTable:
+        """Fixed-base table over the monomial setup (FK20 / monomial commits)."""
+        return build_table_cached(self.oracle.g1_monomial, "monomial")
+
+    @cached_property
+    def roots_brp_mont(self) -> jnp.ndarray:
+        """Bit-reversed 4096 roots of unity, Montgomery form, (16, 4096)."""
+        roots = self.oracle.fft.brp_roots_of_unity[:FIELD_ELEMENTS_PER_BLOB]
+        r = 1 << (16 * FR.n_limbs)
+        return jnp.asarray(ints_to_limbs([v * r % R for v in roots], FR.n_limbs))
+
+    @property
+    def n(self) -> int:
+        return FIELD_ELEMENTS_PER_BLOB
+
+
+def load_settings(path: Optional[str] = None) -> DeviceKZGSettings:
+    if path is None:
+        from .utils.vectors import trusted_setup_path
+
+        path = trusted_setup_path()
+    return DeviceKZGSettings(load_trusted_setup_file(path))

@@ -34,6 +34,13 @@ def oracle_settings():
     return load_trusted_setup_file(trusted_setup_path())
 
 
+@pytest.fixture(scope="session")
+def device_settings():
+    from kzg_tpu.settings import load_settings
+
+    return load_settings()
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--all-vectors",
