@@ -29,9 +29,9 @@ from .constants import (
     R_MOD as R,
     RANDOM_CHALLENGE_KZG_BATCH_DOMAIN,
 )
+from . import native
 from .oracle import serialization as oser
 from .oracle.curve import G1, G1_GENERATOR, G2_GENERATOR
-from .oracle.pairing import pairings_verify
 from .ops import field as fl
 from .ops import g1 as dg1
 from .ops import msm as dmsm
@@ -117,11 +117,12 @@ def _commit_scalars(blobs: Sequence[bytes]) -> jnp.ndarray:
 
 
 def _points_to_bytes(p: dg1.G1XYZZ) -> List[bytes]:
-    return [oser.g1_to_bytes(pt) for pt in dg1.xyzz_to_ints(p)]
+    return native.g1_compress_batch(dg1.xyzz_to_ints(p))
 
 
-def _y_to_ints(y_m) -> List[int]:
-    return FR.decode(np.asarray(y_m).reshape(FR.n_limbs, -1))
+def _y_to_ints(y_canonical) -> List[int]:
+    """CANONICAL (non-Montgomery) limbs -> python ints."""
+    return fl.limbs_to_ints(np.asarray(y_canonical).reshape(FR.n_limbs, -1))
 
 
 def hash_to_bls_field(b32: bytes) -> int:
@@ -210,8 +211,7 @@ def compute_blob_kzg_proof_batch(
 ) -> List[bytes]:
     """Batched blob proofs: challenges on host, everything else one device
     program (parity: compute_blob_kzg_proof_rust, eip_4844.rs:541-563)."""
-    for c in commitments:
-        oser.g1_from_bytes(c)  # validate (raises like the reference)
+    native.g1_decompress_batch(b"".join(commitments))  # validate (raises)
     poly_m = _blobs_to_poly_mont(blobs)
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments)]
     z_m = fl.from_canonical(
@@ -219,6 +219,25 @@ def compute_blob_kzg_proof_batch(
     )
     proofs, _ = _compute_proofs_at(poly_m, z_m, s)
     return proofs
+
+
+def _g2_neg(pt):
+    if pt is None:
+        return None
+    from .constants import P_MOD as P
+
+    x, y = pt
+    return (x, ((P - y[0]) % P, (P - y[1]) % P))
+
+
+def _check_proof_single(s: DeviceKZGSettings, commitment, proof, z: int, y: int) -> bool:
+    """e(C - [y]_1, H) == e(proof, [s - z]_2), native host ops
+    (parity: check_proof_single, blst/src/types/kzg_settings.rs:178-196)."""
+    x_g2 = native.g2_mul(G2_GENERATOR, z)
+    s_minus_x = native.g2_add(s.oracle.g2_monomial[1], _g2_neg(x_g2))
+    y_g1 = native.g1_mul(G1_GENERATOR, y)
+    c_minus_y = native.g1_add(commitment, G1.affine_neg(y_g1))
+    return native.pairings_verify(c_minus_y, G2_GENERATOR, proof, s_minus_x)
 
 
 def verify_kzg_proof(
@@ -230,9 +249,12 @@ def verify_kzg_proof(
 ) -> bool:
     """Single-point verify: one pairing, host-bound (parity:
     verify_kzg_proof_rust, eip_4844.rs:586-611)."""
-    from .oracle import eip4844 as o
-
-    return o.verify_kzg_proof(commitment_bytes, z_bytes, y_bytes, proof_bytes, s.oracle)
+    commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
+    bs.fr_from_bytes(z_bytes)  # canonicality checks (raise like the reference)
+    bs.fr_from_bytes(y_bytes)
+    z = int.from_bytes(z_bytes, "big")
+    y = int.from_bytes(y_bytes, "big")
+    return _check_proof_single(s, commitment, proof, z, y)
 
 
 def verify_blob_kzg_proof(
@@ -242,14 +264,13 @@ def verify_blob_kzg_proof(
     s: DeviceKZGSettings,
 ) -> bool:
     """(parity: verify_blob_kzg_proof_rust, eip_4844.rs:638-665)"""
-    commitment = oser.g1_from_bytes(commitment_bytes)
-    proof = oser.g1_from_bytes(proof_bytes)
+    commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     z = compute_challenge(blob_bytes, commitment_bytes)
     poly_m = _blobs_to_poly_mont([blob_bytes])
     z_m = fl.from_canonical(FR, jnp.asarray(fl.ints_to_limbs([z], FR.n_limbs))[:, :, None])
     y_m, _, _ = _eval_barycentric(poly_m, z_m, s.roots_brp_mont)
     y = _y_to_ints(fl.to_canonical(FR, y_m))[0]
-    return s.oracle.check_proof_single(commitment, proof, z, y)
+    return _check_proof_single(s, commitment, proof, z, y)
 
 
 def verify_blob_kzg_proof_batch(
@@ -273,8 +294,8 @@ def verify_blob_kzg_proof_batch(
     n = len(blobs)
     if n == 0:
         return True
-    commitments = [oser.g1_from_bytes(c) for c in commitments_bytes]
-    proofs = [oser.g1_from_bytes(p) for p in proofs_bytes]
+    commitments = native.g1_decompress_batch(b"".join(commitments_bytes))
+    proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
     if n == 1:
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
 
@@ -307,10 +328,10 @@ def verify_blob_kzg_proof_batch(
     proof_lincomb, proof_z_lincomb, c_lincomb = dg1.xyzz_to_ints(out)
 
     ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
-    rhs = G1.affine_add(
-        G1.affine_add(c_lincomb, proof_z_lincomb),
-        G1.affine_neg(G1.mul_scalar(G1_GENERATOR, ry_sum)),
+    rhs = native.g1_add(
+        native.g1_add(c_lincomb, proof_z_lincomb),
+        G1.affine_neg(native.g1_mul(G1_GENERATOR, ry_sum)),
     )
-    return pairings_verify(
+    return native.pairings_verify(
         proof_lincomb, s.oracle.g2_monomial[1], rhs, G2_GENERATOR
     )

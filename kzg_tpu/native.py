@@ -1,0 +1,245 @@
+"""ctypes binding to the native C++ host core (native/libkzg_native.so).
+
+Provides: batch point codecs with subgroup checks, the pairing check,
+SHA-256, and small host group ops -- the role blst's C/asm plays for the
+reference (/root/reference/blst/src/kzg_proofs.rs:74-100). All entry points
+fall back to the pure-Python oracle when the shared library is missing
+(build with native/build.sh).
+"""
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+from .constants import P_MOD as P
+
+Affine = Optional[Tuple[int, int]]
+
+_LIB_PATHS = [
+    os.environ.get("KZG_TPU_NATIVE_LIB", ""),
+    os.path.join(os.path.dirname(__file__), "..", "native", "libkzg_native.so"),
+]
+
+
+def _load():
+    for p in _LIB_PATHS:
+        if p and os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+                lib.kzgn_version.restype = ctypes.c_int
+                if lib.kzgn_version() != 1:
+                    continue
+                lib.kzgn_sha256.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_size_t,
+                    ctypes.c_char_p,
+                ]
+                lib.kzgn_g1_decompress_batch.restype = ctypes.c_long
+                lib.kzgn_g2_decompress_batch.restype = ctypes.c_long
+                lib.kzgn_g1_compress_batch.restype = ctypes.c_long
+                lib.kzgn_pairings_verify.restype = ctypes.c_int
+                lib.kzgn_g1_mul.restype = ctypes.c_int
+                lib.kzgn_g1_add.restype = ctypes.c_int
+                return lib
+            except OSError:
+                continue
+    return None
+
+
+_lib = _load()
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def sha256(data: bytes) -> bytes:
+    if _lib is None:
+        import hashlib
+
+        return hashlib.sha256(data).digest()
+    out = ctypes.create_string_buffer(32)
+    _lib.kzgn_sha256(data, len(data), out)
+    return out.raw
+
+
+def _xy_to_point(xy: bytes, inf: int) -> Affine:
+    if inf:
+        return None
+    return (int.from_bytes(xy[:48], "big"), int.from_bytes(xy[48:96], "big"))
+
+
+def _point_to_xy(pt: Affine) -> Tuple[bytes, int]:
+    if pt is None:
+        return bytes(96), 1
+    return pt[0].to_bytes(48, "big") + pt[1].to_bytes(48, "big"), 0
+
+
+def g1_decompress_batch(
+    compressed: bytes, subgroup_check: bool = True
+) -> List[Affine]:
+    """48n bytes -> list of affine points (None = infinity).
+    Raises ValueError naming the first invalid point."""
+    n = len(compressed) // 48
+    assert len(compressed) == 48 * n
+    if _lib is None:
+        from .oracle import serialization as ser
+
+        return [
+            ser.g1_from_bytes(compressed[48 * i : 48 * (i + 1)], subgroup_check)
+            for i in range(n)
+        ]
+    out = ctypes.create_string_buffer(96 * n)
+    infs = ctypes.create_string_buffer(n)
+    rc = _lib.kzgn_g1_decompress_batch(
+        compressed, ctypes.c_size_t(n), int(subgroup_check), out, infs
+    )
+    if rc:
+        raise ValueError(f"g1: invalid point at index {rc - 1}")
+    return [
+        _xy_to_point(out.raw[96 * i : 96 * (i + 1)], infs.raw[i]) for i in range(n)
+    ]
+
+
+def g2_decompress_batch(
+    compressed: bytes, subgroup_check: bool = True
+) -> List[Optional[tuple]]:
+    n = len(compressed) // 96
+    assert len(compressed) == 96 * n
+    if _lib is None:
+        from .oracle import serialization as ser
+
+        return [
+            ser.g2_from_bytes(compressed[96 * i : 96 * (i + 1)], subgroup_check)
+            for i in range(n)
+        ]
+    out = ctypes.create_string_buffer(192 * n)
+    infs = ctypes.create_string_buffer(n)
+    rc = _lib.kzgn_g2_decompress_batch(
+        compressed, ctypes.c_size_t(n), int(subgroup_check), out, infs
+    )
+    if rc:
+        raise ValueError(f"g2: invalid point at index {rc - 1}")
+    pts = []
+    for i in range(n):
+        if infs.raw[i]:
+            pts.append(None)
+            continue
+        b = out.raw[192 * i : 192 * (i + 1)]
+        x = (int.from_bytes(b[:48], "big"), int.from_bytes(b[48:96], "big"))
+        y = (int.from_bytes(b[96:144], "big"), int.from_bytes(b[144:192], "big"))
+        pts.append((x, y))
+    return pts
+
+
+def g1_compress_batch(points: List[Affine]) -> List[bytes]:
+    n = len(points)
+    if _lib is None:
+        from .oracle import serialization as ser
+
+        return [ser.g1_to_bytes(p) for p in points]
+    xy = bytearray(96 * n)
+    infs = bytearray(n)
+    for i, p in enumerate(points):
+        b, inf = _point_to_xy(p)
+        xy[96 * i : 96 * (i + 1)] = b
+        infs[i] = inf
+    out = ctypes.create_string_buffer(48 * n)
+    rc = _lib.kzgn_g1_compress_batch(bytes(xy), bytes(infs), ctypes.c_size_t(n), out)
+    if rc:
+        raise ValueError(f"g1: invalid affine coordinates at index {rc - 1}")
+    return [out.raw[48 * i : 48 * (i + 1)] for i in range(n)]
+
+
+def _g2_to_bytes_raw(pt) -> Tuple[bytes, int]:
+    if pt is None:
+        return bytes(192), 1
+    x, y = pt
+    return (
+        x[0].to_bytes(48, "big")
+        + x[1].to_bytes(48, "big")
+        + y[0].to_bytes(48, "big")
+        + y[1].to_bytes(48, "big")
+    ), 0
+
+
+def pairings_verify(a1: Affine, a2, b1: Affine, b2) -> bool:
+    """e(a1, a2) == e(b1, b2) (parity: blst/src/kzg_proofs.rs:74-100)."""
+    if _lib is None:
+        from .oracle.pairing import pairings_verify as opv
+
+        return opv(a1, a2, b1, b2)
+    a1b, a1i = _point_to_xy(a1)
+    b1b, b1i = _point_to_xy(b1)
+    a2b, a2i = _g2_to_bytes_raw(a2)
+    b2b, b2i = _g2_to_bytes_raw(b2)
+    rc = _lib.kzgn_pairings_verify(a1b, a1i, a2b, a2i, b1b, b1i, b2b, b2i)
+    if rc < 0:
+        raise ValueError("pairings_verify: malformed input")
+    return rc == 1
+
+
+def g1_mul(pt: Affine, scalar: int) -> Affine:
+    if _lib is None:
+        from .oracle.curve import G1
+
+        return G1.mul_scalar(pt, scalar)
+    b, inf = _point_to_xy(pt)
+    out = ctypes.create_string_buffer(96)
+    rc = _lib.kzgn_g1_mul(b, inf, (scalar % (1 << 256)).to_bytes(32, "big"), out)
+    if rc < 0:
+        raise ValueError("g1_mul: malformed input")
+    return None if rc == 1 else _xy_to_point(out.raw, 0)
+
+
+def g2_mul(pt, scalar: int):
+    if _lib is None:
+        from .oracle.curve import G2
+
+        return G2.mul_scalar(pt, scalar)
+    b, inf = _g2_to_bytes_raw(pt)
+    out = ctypes.create_string_buffer(192)
+    rc = _lib.kzgn_g2_mul(b, inf, (scalar % (1 << 256)).to_bytes(32, "big"), out)
+    if rc < 0:
+        raise ValueError("g2_mul: malformed input")
+    if rc == 1:
+        return None
+    raw = out.raw
+    return (
+        (int.from_bytes(raw[:48], "big"), int.from_bytes(raw[48:96], "big")),
+        (int.from_bytes(raw[96:144], "big"), int.from_bytes(raw[144:192], "big")),
+    )
+
+
+def g2_add(p, q):
+    if _lib is None:
+        from .oracle.curve import G2
+
+        return G2.affine_add(p, q)
+    pb, pi = _g2_to_bytes_raw(p)
+    qb, qi = _g2_to_bytes_raw(q)
+    out = ctypes.create_string_buffer(192)
+    rc = _lib.kzgn_g2_add(pb, pi, qb, qi, out)
+    if rc < 0:
+        raise ValueError("g2_add: malformed input")
+    if rc == 1:
+        return None
+    raw = out.raw
+    return (
+        (int.from_bytes(raw[:48], "big"), int.from_bytes(raw[48:96], "big")),
+        (int.from_bytes(raw[96:144], "big"), int.from_bytes(raw[144:192], "big")),
+    )
+
+
+def g1_add(p: Affine, q: Affine) -> Affine:
+    if _lib is None:
+        from .oracle.curve import G1
+
+        return G1.affine_add(p, q)
+    pb, pi = _point_to_xy(p)
+    qb, qi = _point_to_xy(q)
+    out = ctypes.create_string_buffer(96)
+    rc = _lib.kzgn_g1_add(pb, pi, qb, qi, out)
+    if rc < 0:
+        raise ValueError("g1_add: malformed input")
+    return None if rc == 1 else _xy_to_point(out.raw, 0)

@@ -1,0 +1,1231 @@
+// kzg_native: C++ host-side BLS12-381 core for the kzg_tpu framework.
+//
+// Role parity with the reference's native L0 (blst C/asm, mcl C++ --
+// /root/reference/blst/src/types/*.rs wraps them): the serial,
+// latency-bound host operations the TPU should not do -- 48/96-byte point
+// codecs with subgroup checks, SHA-256 Fiat-Shamir transcripts, the single
+// pairing per verification, and small host-side group ops.
+//
+// The algorithms mirror kzg_tpu/oracle/{field,curve,pairing,serialization}.py
+// (this repo's consensus-vector-verified oracle), re-implemented on 6x64-bit
+// Montgomery limbs. Differential tests: tests/test_native.py.
+//
+// Build: native/build.sh  ->  libkzg_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#include "constants.h"
+
+typedef unsigned __int128 u128;
+
+// ---------------------------------------------------------------------------
+// Fp: 6x64-bit Montgomery form
+// ---------------------------------------------------------------------------
+
+struct Fp {
+    uint64_t l[6];
+};
+
+static inline bool fp_is_zero(const Fp &a) {
+    uint64_t r = 0;
+    for (int i = 0; i < 6; i++) r |= a.l[i];
+    return r == 0;
+}
+
+static inline bool fp_eq(const Fp &a, const Fp &b) {
+    uint64_t r = 0;
+    for (int i = 0; i < 6; i++) r |= a.l[i] ^ b.l[i];
+    return r == 0;
+}
+
+// a >= b on raw limbs
+static inline bool geq(const uint64_t *a, const uint64_t *b, int n) {
+    for (int i = n - 1; i >= 0; i--) {
+        if (a[i] != b[i]) return a[i] > b[i];
+    }
+    return true;
+}
+
+static inline void sub_limbs(uint64_t *r, const uint64_t *a, const uint64_t *b, int n) {
+    uint64_t borrow = 0;
+    for (int i = 0; i < n; i++) {
+        u128 t = (u128)a[i] - b[i] - borrow;
+        r[i] = (uint64_t)t;
+        borrow = (uint64_t)(t >> 64) ? 1 : 0;
+    }
+}
+
+static inline void fp_add(Fp &r, const Fp &a, const Fp &b) {
+    uint64_t carry = 0;
+    uint64_t t[6];
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        t[i] = (uint64_t)s;
+        carry = (uint64_t)(s >> 64);
+    }
+    if (carry || geq(t, P_LIMBS, 6)) {
+        sub_limbs(r.l, t, P_LIMBS, 6);
+    } else {
+        memcpy(r.l, t, sizeof t);
+    }
+}
+
+static inline void fp_sub(Fp &r, const Fp &a, const Fp &b) {
+    uint64_t borrow = 0;
+    uint64_t t[6];
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)a.l[i] - b.l[i] - borrow;
+        t[i] = (uint64_t)s;
+        borrow = (uint64_t)(s >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        uint64_t carry = 0;
+        for (int i = 0; i < 6; i++) {
+            u128 s = (u128)t[i] + P_LIMBS[i] + carry;
+            r.l[i] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+    } else {
+        memcpy(r.l, t, sizeof t);
+    }
+}
+
+static inline void fp_neg(Fp &r, const Fp &a) {
+    if (fp_is_zero(a)) {
+        r = a;
+        return;
+    }
+    sub_limbs(r.l, P_LIMBS, a.l, 6);
+}
+
+// CIOS Montgomery multiplication
+static void fp_mul(Fp &r, const Fp &a, const Fp &b) {
+    uint64_t t[8] = {0};
+    for (int i = 0; i < 6; i++) {
+        uint64_t carry = 0;
+        for (int j = 0; j < 6; j++) {
+            u128 s = (u128)a.l[j] * b.l[i] + t[j] + carry;
+            t[j] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+        u128 s = (u128)t[6] + carry;
+        t[6] = (uint64_t)s;
+        t[7] = (uint64_t)(s >> 64);
+
+        uint64_t m = t[0] * FP_N0INV;
+        u128 s2 = (u128)m * P_LIMBS[0] + t[0];
+        carry = (uint64_t)(s2 >> 64);
+        for (int j = 1; j < 6; j++) {
+            s2 = (u128)m * P_LIMBS[j] + t[j] + carry;
+            t[j - 1] = (uint64_t)s2;
+            carry = (uint64_t)(s2 >> 64);
+        }
+        s2 = (u128)t[6] + carry;
+        t[5] = (uint64_t)s2;
+        t[6] = t[7] + (uint64_t)(s2 >> 64);
+        t[7] = 0;
+    }
+    if (t[6] || geq(t, P_LIMBS, 6)) {
+        sub_limbs(r.l, t, P_LIMBS, 6);
+    } else {
+        memcpy(r.l, t, 6 * sizeof(uint64_t));
+    }
+}
+
+static inline void fp_sqr(Fp &r, const Fp &a) { fp_mul(r, a, a); }
+
+static const Fp FP_ZERO = {{0, 0, 0, 0, 0, 0}};
+
+static Fp fp_one() {
+    Fp r;
+    memcpy(r.l, FP_ONE_MONT, sizeof r.l);
+    return r;
+}
+
+// exponentiation by a plain (non-Montgomery) 6-limb exponent
+static void fp_pow(Fp &r, const Fp &a, const uint64_t *e, int n_limbs) {
+    Fp acc = fp_one();
+    int top = n_limbs * 64 - 1;
+    while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+        fp_sqr(acc, acc);
+        if ((e[i / 64] >> (i % 64)) & 1) fp_mul(acc, acc, a);
+    }
+    r = acc;
+}
+
+static void fp_inv(Fp &r, const Fp &a) { fp_pow(r, a, FP_P_MINUS_2, 6); }
+
+// sqrt for p = 3 mod 4; returns false if non-residue
+// (parity: fp_sqrt, kzg_tpu/oracle/field.py)
+static bool fp_sqrt(Fp &r, const Fp &a) {
+    Fp c;
+    fp_pow(c, a, FP_SQRT_EXP, 6);
+    Fp c2;
+    fp_sqr(c2, c);
+    if (!fp_eq(c2, a)) return false;
+    r = c;
+    return true;
+}
+
+// byte conversions (big-endian, plain form <-> Montgomery)
+static bool fp_from_be(Fp &r, const uint8_t *b) {  // 48 bytes; false if >= p
+    uint64_t plain[6];
+    for (int i = 0; i < 6; i++) {
+        uint64_t v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | b[(5 - i) * 8 + j];
+        plain[i] = v;
+    }
+    if (geq(plain, P_LIMBS, 6)) return false;  // geq = (plain >= p)
+    Fp tmp;
+    memcpy(tmp.l, plain, sizeof tmp.l);
+    Fp r2;
+    memcpy(r2.l, FP_R2, sizeof r2.l);
+    fp_mul(r, tmp, r2);
+    return true;
+}
+
+static void fp_to_be(uint8_t *b, const Fp &a) {  // 48 bytes
+    Fp one = {{1, 0, 0, 0, 0, 0}};
+    Fp plain;
+    fp_mul(plain, a, one);  // Montgomery reduce
+    for (int i = 0; i < 6; i++) {
+        uint64_t v = plain.l[5 - i];
+        for (int j = 0; j < 8; j++) b[i * 8 + j] = (uint8_t)(v >> (56 - 8 * j));
+    }
+}
+
+// plain-form comparison against (p-1)/2 for the sign bit
+static bool fp_lex_larger(const Fp &a) {
+    Fp one = {{1, 0, 0, 0, 0, 0}};
+    Fp plain;
+    fp_mul(plain, a, one);
+    // (p-1)/2 = (P_LIMBS - 1) >> 1
+    uint64_t half[6];
+    uint64_t borrow = 1;
+    for (int i = 0; i < 6; i++) {
+        uint64_t v = P_LIMBS[i] - borrow;
+        borrow = (P_LIMBS[i] < borrow) ? 1 : 0;
+        half[i] = v;
+    }
+    for (int i = 0; i < 6; i++) {
+        uint64_t lo = half[i] >> 1;
+        if (i < 5) lo |= half[i + 1] << 63;
+        half[i] = lo;
+    }
+    // a_plain > half ?
+    for (int i = 5; i >= 0; i--) {
+        if (plain.l[i] != half[i]) return plain.l[i] > half[i];
+    }
+    return false;
+}
+
+// ---------------------------------------------------------------------------
+// Fp2 = Fp[u]/(u^2+1)   (parity: oracle/field.py fp2_*)
+// ---------------------------------------------------------------------------
+
+struct Fp2 {
+    Fp c0, c1;
+};
+
+static const Fp2 FP2_ZERO_V = {{{0}}, {{0}}};
+
+static Fp2 fp2_one() { return {fp_one(), FP_ZERO}; }
+
+static inline bool fp2_is_zero(const Fp2 &a) { return fp_is_zero(a.c0) && fp_is_zero(a.c1); }
+static inline bool fp2_eq(const Fp2 &a, const Fp2 &b) { return fp_eq(a.c0, b.c0) && fp_eq(a.c1, b.c1); }
+
+static inline void fp2_add(Fp2 &r, const Fp2 &a, const Fp2 &b) {
+    fp_add(r.c0, a.c0, b.c0);
+    fp_add(r.c1, a.c1, b.c1);
+}
+static inline void fp2_sub(Fp2 &r, const Fp2 &a, const Fp2 &b) {
+    fp_sub(r.c0, a.c0, b.c0);
+    fp_sub(r.c1, a.c1, b.c1);
+}
+static inline void fp2_neg(Fp2 &r, const Fp2 &a) {
+    fp_neg(r.c0, a.c0);
+    fp_neg(r.c1, a.c1);
+}
+
+static void fp2_mul(Fp2 &r, const Fp2 &a, const Fp2 &b) {
+    Fp t0, t1, t2, sa, sb;
+    fp_mul(t0, a.c0, b.c0);
+    fp_mul(t1, a.c1, b.c1);
+    fp_add(sa, a.c0, a.c1);
+    fp_add(sb, b.c0, b.c1);
+    fp_mul(t2, sa, sb);
+    Fp c0, c1;
+    fp_sub(c0, t0, t1);
+    fp_sub(t2, t2, t0);
+    fp_sub(c1, t2, t1);
+    r.c0 = c0;
+    r.c1 = c1;
+}
+
+static void fp2_sqr(Fp2 &r, const Fp2 &a) {
+    Fp s, d, t;
+    fp_add(s, a.c0, a.c1);
+    fp_sub(d, a.c0, a.c1);
+    fp_mul(t, a.c0, a.c1);
+    fp_mul(r.c0, s, d);
+    fp_add(r.c1, t, t);
+}
+
+static void fp2_conj(Fp2 &r, const Fp2 &a) {
+    r.c0 = a.c0;
+    fp_neg(r.c1, a.c1);
+}
+
+static void fp2_inv(Fp2 &r, const Fp2 &a) {
+    Fp n, t0, t1, ninv;
+    fp_sqr(t0, a.c0);
+    fp_sqr(t1, a.c1);
+    fp_add(n, t0, t1);
+    fp_inv(ninv, n);
+    fp_mul(r.c0, a.c0, ninv);
+    Fp nc1;
+    fp_neg(nc1, a.c1);
+    fp_mul(r.c1, nc1, ninv);
+}
+
+// (c0 + c1 u)(1 + u) = (c0 - c1) + (c0 + c1) u
+static void fp2_mul_by_xi(Fp2 &r, const Fp2 &a) {
+    Fp t0, t1;
+    fp_sub(t0, a.c0, a.c1);
+    fp_add(t1, a.c0, a.c1);
+    r.c0 = t0;
+    r.c1 = t1;
+}
+
+static void fp2_pow(Fp2 &r, const Fp2 &a, const uint64_t *e, int n_limbs) {
+    Fp2 acc = fp2_one();
+    int top = n_limbs * 64 - 1;
+    while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+        fp2_sqr(acc, acc);
+        if ((e[i / 64] >> (i % 64)) & 1) fp2_mul(acc, acc, a);
+    }
+    r = acc;
+}
+
+// sqrt in Fp2 for p = 3 mod 4 (parity: fp2_sqrt, oracle/field.py:94-106)
+static bool fp2_sqrt(Fp2 &r, const Fp2 &a) {
+    if (fp2_is_zero(a)) {
+        r = a;
+        return true;
+    }
+    Fp2 a1, x0, alpha;
+    fp2_pow(a1, a, FP2_A1_EXP, 6);
+    fp2_mul(x0, a1, a);
+    fp2_mul(alpha, a1, x0);
+    Fp2 minus_one;
+    fp_neg(minus_one.c0, fp_one());
+    minus_one.c1 = FP_ZERO;
+    Fp2 x;
+    if (fp2_eq(alpha, minus_one)) {
+        // x = u * x0
+        fp_neg(x.c0, x0.c1);
+        x.c1 = x0.c0;
+    } else {
+        Fp2 b, one = fp2_one();
+        fp2_add(b, one, alpha);
+        fp2_pow(b, b, FP2_B_EXP, 6);
+        fp2_mul(x, b, x0);
+    }
+    Fp2 chk;
+    fp2_sqr(chk, x);
+    if (!fp2_eq(chk, a)) return false;
+    r = x;
+    return true;
+}
+
+static bool fp2_lex_larger(const Fp2 &y) {
+    if (!fp_is_zero(y.c1)) return fp_lex_larger(y.c1);
+    return fp_lex_larger(y.c0);
+}
+
+// ---------------------------------------------------------------------------
+// Fp6 = Fp2[v]/(v^3 - xi), Fp12 = Fp6[w]/(w^2 - v)
+// (parity: oracle/field.py fp6_*/fp12_*)
+// ---------------------------------------------------------------------------
+
+struct Fp6 {
+    Fp2 a0, a1, a2;
+};
+struct Fp12 {
+    Fp6 b0, b1;
+};
+
+static Fp6 fp6_zero() { return {FP2_ZERO_V, FP2_ZERO_V, FP2_ZERO_V}; }
+static Fp6 fp6_one() { return {fp2_one(), FP2_ZERO_V, FP2_ZERO_V}; }
+static Fp12 fp12_one() { return {fp6_one(), fp6_zero()}; }
+
+static inline void fp6_add(Fp6 &r, const Fp6 &a, const Fp6 &b) {
+    fp2_add(r.a0, a.a0, b.a0);
+    fp2_add(r.a1, a.a1, b.a1);
+    fp2_add(r.a2, a.a2, b.a2);
+}
+static inline void fp6_sub(Fp6 &r, const Fp6 &a, const Fp6 &b) {
+    fp2_sub(r.a0, a.a0, b.a0);
+    fp2_sub(r.a1, a.a1, b.a1);
+    fp2_sub(r.a2, a.a2, b.a2);
+}
+static inline void fp6_neg(Fp6 &r, const Fp6 &a) {
+    fp2_neg(r.a0, a.a0);
+    fp2_neg(r.a1, a.a1);
+    fp2_neg(r.a2, a.a2);
+}
+
+static void fp6_mul(Fp6 &r, const Fp6 &a, const Fp6 &b) {
+    Fp2 t0, t1, t2, s, u0, u1, u2;
+    fp2_mul(t0, a.a0, b.a0);
+    fp2_mul(t1, a.a1, b.a1);
+    fp2_mul(t2, a.a2, b.a2);
+
+    Fp2 c0;
+    fp2_add(u0, a.a1, a.a2);
+    fp2_add(u1, b.a1, b.a2);
+    fp2_mul(s, u0, u1);
+    fp2_sub(s, s, t1);
+    fp2_sub(s, s, t2);
+    fp2_mul_by_xi(s, s);
+    fp2_add(c0, t0, s);
+
+    Fp2 c1;
+    fp2_add(u0, a.a0, a.a1);
+    fp2_add(u1, b.a0, b.a1);
+    fp2_mul(s, u0, u1);
+    fp2_sub(s, s, t0);
+    fp2_sub(s, s, t1);
+    fp2_mul_by_xi(u2, t2);
+    fp2_add(c1, s, u2);
+
+    Fp2 c2;
+    fp2_add(u0, a.a0, a.a2);
+    fp2_add(u1, b.a0, b.a2);
+    fp2_mul(s, u0, u1);
+    fp2_sub(s, s, t0);
+    fp2_sub(s, s, t2);
+    fp2_add(c2, s, t1);
+
+    r.a0 = c0;
+    r.a1 = c1;
+    r.a2 = c2;
+}
+
+static void fp6_mul_by_v(Fp6 &r, const Fp6 &a) {
+    Fp2 t;
+    fp2_mul_by_xi(t, a.a2);
+    Fp2 a0 = a.a0, a1 = a.a1;
+    r.a0 = t;
+    r.a1 = a0;
+    r.a2 = a1;
+}
+
+static void fp6_inv(Fp6 &r, const Fp6 &a) {
+    Fp2 c0, c1, c2, t, s;
+    fp2_sqr(c0, a.a0);
+    fp2_mul(t, a.a1, a.a2);
+    fp2_mul_by_xi(t, t);
+    fp2_sub(c0, c0, t);
+
+    fp2_sqr(t, a.a2);
+    fp2_mul_by_xi(t, t);
+    fp2_mul(s, a.a0, a.a1);
+    fp2_sub(c1, t, s);
+
+    fp2_sqr(t, a.a1);
+    fp2_mul(s, a.a0, a.a2);
+    fp2_sub(c2, t, s);
+
+    Fp2 acc, tmp;
+    fp2_mul(tmp, a.a2, c1);
+    fp2_mul(t, a.a1, c2);
+    fp2_add(tmp, tmp, t);
+    fp2_mul_by_xi(tmp, tmp);
+    fp2_mul(acc, a.a0, c0);
+    fp2_add(acc, acc, tmp);
+    fp2_inv(acc, acc);
+    fp2_mul(r.a0, c0, acc);
+    fp2_mul(r.a1, c1, acc);
+    fp2_mul(r.a2, c2, acc);
+}
+
+static void fp12_mul(Fp12 &r, const Fp12 &a, const Fp12 &b) {
+    Fp6 t0, t1, s, u0, u1;
+    fp6_mul(t0, a.b0, b.b0);
+    fp6_mul(t1, a.b1, b.b1);
+    Fp6 c0, c1;
+    fp6_mul_by_v(s, t1);
+    fp6_add(c0, t0, s);
+    fp6_add(u0, a.b0, a.b1);
+    fp6_add(u1, b.b0, b.b1);
+    fp6_mul(s, u0, u1);
+    fp6_sub(s, s, t0);
+    fp6_sub(c1, s, t1);
+    r.b0 = c0;
+    r.b1 = c1;
+}
+
+static void fp12_sqr(Fp12 &r, const Fp12 &a) { fp12_mul(r, a, a); }
+
+static void fp12_conj(Fp12 &r, const Fp12 &a) {
+    r.b0 = a.b0;
+    fp6_neg(r.b1, a.b1);
+}
+
+static void fp12_inv(Fp12 &r, const Fp12 &a) {
+    Fp6 t, s;
+    Fp6 sq0, sq1;
+    fp6_mul(sq0, a.b0, a.b0);
+    fp6_mul(sq1, a.b1, a.b1);
+    fp6_mul_by_v(s, sq1);
+    fp6_sub(t, sq0, s);
+    fp6_inv(t, t);
+    fp6_mul(r.b0, a.b0, t);
+    Fp6 nb1;
+    fp6_neg(nb1, a.b1);
+    fp6_mul(r.b1, nb1, t);
+}
+
+static inline bool fp12_is_one(const Fp12 &a) {
+    Fp12 one = fp12_one();
+    return fp_eq(a.b0.a0.c0, one.b0.a0.c0) && fp_eq(a.b0.a0.c1, FP_ZERO) &&
+           fp2_is_zero(a.b0.a1) && fp2_is_zero(a.b0.a2) && fp2_is_zero(a.b1.a0) &&
+           fp2_is_zero(a.b1.a1) && fp2_is_zero(a.b1.a2);
+}
+
+static Fp2 load_fp2(const uint64_t *c0, const uint64_t *c1) {
+    Fp2 r;
+    memcpy(r.c0.l, c0, 48);
+    memcpy(r.c1.l, c1, 48);
+    return r;
+}
+
+static void fp6_frobenius(Fp6 &r, const Fp6 &a) {
+    Fp2 g1v = load_fp2(FROB_G6_1_C0, FROB_G6_1_C1);
+    Fp2 g2v = load_fp2(FROB_G6_2_C0, FROB_G6_2_C1);
+    Fp2 t;
+    fp2_conj(r.a0, a.a0);
+    fp2_conj(t, a.a1);
+    fp2_mul(r.a1, t, g1v);
+    fp2_conj(t, a.a2);
+    fp2_mul(r.a2, t, g2v);
+}
+
+static void fp12_frobenius(Fp12 &r, const Fp12 &a) {
+    Fp2 g12 = load_fp2(FROB_G12_C0, FROB_G12_C1);
+    fp6_frobenius(r.b0, a.b0);
+    Fp6 b1;
+    fp6_frobenius(b1, a.b1);
+    fp2_mul(r.b1.a0, b1.a0, g12);
+    fp2_mul(r.b1.a1, b1.a1, g12);
+    fp2_mul(r.b1.a2, b1.a2, g12);
+}
+
+// ---------------------------------------------------------------------------
+// Curve points, generic over the coordinate field
+// (parity: oracle/curve.py CurveOps -- Jacobian formulas)
+// ---------------------------------------------------------------------------
+
+template <class F>
+struct FieldOps;
+
+template <>
+struct FieldOps<Fp> {
+    static void add(Fp &r, const Fp &a, const Fp &b) { fp_add(r, a, b); }
+    static void sub(Fp &r, const Fp &a, const Fp &b) { fp_sub(r, a, b); }
+    static void mul(Fp &r, const Fp &a, const Fp &b) { fp_mul(r, a, b); }
+    static void sqr(Fp &r, const Fp &a) { fp_sqr(r, a); }
+    static void neg(Fp &r, const Fp &a) { fp_neg(r, a); }
+    static bool is_zero(const Fp &a) { return fp_is_zero(a); }
+    static bool eq(const Fp &a, const Fp &b) { return fp_eq(a, b); }
+    static Fp one() { return fp_one(); }
+    static Fp zero() { return FP_ZERO; }
+};
+
+template <>
+struct FieldOps<Fp2> {
+    static void add(Fp2 &r, const Fp2 &a, const Fp2 &b) { fp2_add(r, a, b); }
+    static void sub(Fp2 &r, const Fp2 &a, const Fp2 &b) { fp2_sub(r, a, b); }
+    static void mul(Fp2 &r, const Fp2 &a, const Fp2 &b) { fp2_mul(r, a, b); }
+    static void sqr(Fp2 &r, const Fp2 &a) { fp2_sqr(r, a); }
+    static void neg(Fp2 &r, const Fp2 &a) { fp2_neg(r, a); }
+    static bool is_zero(const Fp2 &a) { return fp2_is_zero(a); }
+    static bool eq(const Fp2 &a, const Fp2 &b) { return fp2_eq(a, b); }
+    static Fp2 one() { return fp2_one(); }
+    static Fp2 zero() { return FP2_ZERO_V; }
+};
+
+template <class F>
+struct Jac {
+    F x, y, z;
+    bool inf;
+};
+
+template <class F>
+static Jac<F> jac_identity() {
+    return {FieldOps<F>::zero(), FieldOps<F>::one(), FieldOps<F>::zero(), true};
+}
+
+template <class F>
+static Jac<F> jac_from_affine(const F &x, const F &y) {
+    return {x, y, FieldOps<F>::one(), false};
+}
+
+template <class F>
+static void jac_double(Jac<F> &r, const Jac<F> &p) {
+    using O = FieldOps<F>;
+    if (p.inf || O::is_zero(p.y)) {
+        r = jac_identity<F>();
+        return;
+    }
+    F a, bq, c, d, e, f, t, t2;
+    O::sqr(a, p.x);           // A = X^2
+    O::sqr(bq, p.y);          // B = Y^2
+    O::sqr(c, bq);            // C = B^2
+    O::add(t, p.x, bq);
+    O::sqr(t, t);
+    O::sub(t, t, a);
+    O::sub(t, t, c);
+    O::add(d, t, t);          // D = 2((X+B)^2 - A - C)
+    O::add(e, a, a);
+    O::add(e, e, a);          // E = 3A
+    O::sqr(f, e);             // F = E^2
+    F x3, y3, z3;
+    O::sub(x3, f, d);
+    O::sub(x3, x3, d);        // X3 = F - 2D
+    O::sub(t, d, x3);
+    O::mul(t, e, t);
+    F c8;
+    O::add(c8, c, c);
+    O::add(c8, c8, c8);
+    O::add(c8, c8, c8);       // 8C
+    O::sub(y3, t, c8);        // Y3 = E(D - X3) - 8C
+    O::mul(t2, p.y, p.z);
+    O::add(z3, t2, t2);       // Z3 = 2YZ
+    r = {x3, y3, z3, false};
+}
+
+template <class F>
+static void jac_add(Jac<F> &r, const Jac<F> &p, const Jac<F> &q) {
+    using O = FieldOps<F>;
+    if (p.inf) {
+        r = q;
+        return;
+    }
+    if (q.inf) {
+        r = p;
+        return;
+    }
+    F z1z1, z2z2, u1, u2, s1, s2, t;
+    O::sqr(z1z1, p.z);
+    O::sqr(z2z2, q.z);
+    O::mul(u1, p.x, z2z2);
+    O::mul(u2, q.x, z1z1);
+    O::mul(t, q.z, z2z2);
+    O::mul(s1, p.y, t);
+    O::mul(t, p.z, z1z1);
+    O::mul(s2, q.y, t);
+    if (O::eq(u1, u2)) {
+        if (O::eq(s1, s2)) {
+            jac_double(r, p);
+            return;
+        }
+        r = jac_identity<F>();
+        return;
+    }
+    F h, i, j, rr, v;
+    O::sub(h, u2, u1);
+    O::add(i, h, h);
+    O::sqr(i, i);             // I = (2H)^2
+    O::mul(j, h, i);          // J = H*I
+    O::sub(rr, s2, s1);
+    O::add(rr, rr, rr);       // r = 2(S2-S1)
+    O::mul(v, u1, i);         // V = U1*I
+    F x3, y3, z3;
+    O::sqr(x3, rr);
+    O::sub(x3, x3, j);
+    O::sub(x3, x3, v);
+    O::sub(x3, x3, v);        // X3 = r^2 - J - 2V
+    O::sub(t, v, x3);
+    O::mul(t, rr, t);
+    F s1j;
+    O::mul(s1j, s1, j);
+    O::add(s1j, s1j, s1j);
+    O::sub(y3, t, s1j);       // Y3 = r(V - X3) - 2 S1 J
+    O::add(t, p.z, q.z);
+    O::sqr(t, t);
+    O::sub(t, t, z1z1);
+    O::sub(t, t, z2z2);
+    O::mul(z3, t, h);         // Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) H
+    r = {x3, y3, z3, false};
+}
+
+template <class F>
+static void jac_mul_scalar(Jac<F> &r, const Jac<F> &p, const uint64_t *e, int n_limbs) {
+    Jac<F> acc = jac_identity<F>();
+    int top = n_limbs * 64 - 1;
+    while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+        jac_double(acc, acc);
+        if ((e[i / 64] >> (i % 64)) & 1) jac_add(acc, acc, p);
+    }
+    r = acc;
+}
+
+template <class F>
+static bool jac_to_affine(F &x, F &y, const Jac<F> &p) {  // false if infinity
+    using O = FieldOps<F>;
+    if (p.inf || O::is_zero(p.z)) return false;
+    F zinv, zinv2, zinv3;
+    if constexpr (sizeof(F) == sizeof(Fp)) {
+        fp_inv(*(Fp *)&zinv, *(const Fp *)&p.z);
+    } else {
+        fp2_inv(*(Fp2 *)&zinv, *(const Fp2 *)&p.z);
+    }
+    O::sqr(zinv2, zinv);
+    O::mul(zinv3, zinv2, zinv);
+    O::mul(x, p.x, zinv2);
+    O::mul(y, p.y, zinv3);
+    return true;
+}
+
+template <class F>
+static bool in_subgroup(const F &x, const F &y) {
+    Jac<F> p = jac_from_affine<F>(x, y);
+    Jac<F> rp;
+    jac_mul_scalar(rp, p, R_LIMBS, 4);
+    return rp.inf;
+}
+
+// ---------------------------------------------------------------------------
+// Point codecs (parity: oracle/serialization.py)
+// ---------------------------------------------------------------------------
+
+static const uint8_t FLAG_COMPRESSED = 0x80;
+static const uint8_t FLAG_INFINITY = 0x40;
+static const uint8_t FLAG_SIGN = 0x20;
+
+// returns: 0 = ok point, 1 = infinity, negative = error
+static int g1_decompress(const uint8_t in[48], Fp &x, Fp &y, bool subgroup_check) {
+    uint8_t flags = in[0];
+    if (!(flags & FLAG_COMPRESSED)) return -1;
+    if (flags & FLAG_INFINITY) {
+        if (flags != (FLAG_COMPRESSED | FLAG_INFINITY)) return -2;
+        for (int i = 1; i < 48; i++)
+            if (in[i]) return -2;
+        return 1;
+    }
+    uint8_t buf[48];
+    memcpy(buf, in, 48);
+    buf[0] &= 0x1F;
+    if (!fp_from_be(x, buf)) return -3;
+    Fp y2, t, b;
+    fp_sqr(t, x);
+    fp_mul(y2, t, x);
+    memcpy(b.l, B_G1_MONT, sizeof b.l);
+    fp_add(y2, y2, b);
+    if (!fp_sqrt(y, y2)) return -4;
+    bool sign = (flags & FLAG_SIGN) != 0;
+    if (sign != fp_lex_larger(y)) fp_neg(y, y);
+    if (subgroup_check && !in_subgroup<Fp>(x, y)) return -5;
+    return 0;
+}
+
+static void g1_compress(uint8_t out[48], const Fp &x, const Fp &y, bool inf) {
+    if (inf) {
+        memset(out, 0, 48);
+        out[0] = FLAG_COMPRESSED | FLAG_INFINITY;
+        return;
+    }
+    fp_to_be(out, x);
+    out[0] |= FLAG_COMPRESSED;
+    if (fp_lex_larger(y)) out[0] |= FLAG_SIGN;
+}
+
+static int g2_decompress(const uint8_t in[96], Fp2 &x, Fp2 &y, bool subgroup_check) {
+    uint8_t flags = in[0];
+    if (!(flags & FLAG_COMPRESSED)) return -1;
+    if (flags & FLAG_INFINITY) {
+        if (flags != (FLAG_COMPRESSED | FLAG_INFINITY)) return -2;
+        for (int i = 1; i < 96; i++)
+            if (in[i]) return -2;
+        return 1;
+    }
+    uint8_t buf[48];
+    memcpy(buf, in, 48);
+    buf[0] &= 0x1F;
+    if (!fp_from_be(x.c1, buf)) return -3;
+    if (!fp_from_be(x.c0, in + 48)) return -3;
+    Fp2 y2, t, b;
+    fp2_sqr(t, x);
+    fp2_mul(y2, t, x);
+    memcpy(b.c0.l, B_G2_C0_MONT, 48);
+    memcpy(b.c1.l, B_G2_C1_MONT, 48);
+    fp2_add(y2, y2, b);
+    if (!fp2_sqrt(y, y2)) return -4;
+    bool sign = (flags & FLAG_SIGN) != 0;
+    if (sign != fp2_lex_larger(y)) fp2_neg(y, y);
+    if (subgroup_check && !in_subgroup<Fp2>(x, y)) return -5;
+    return 0;
+}
+
+static void g2_compress(uint8_t out[96], const Fp2 &x, const Fp2 &y, bool inf) {
+    if (inf) {
+        memset(out, 0, 96);
+        out[0] = FLAG_COMPRESSED | FLAG_INFINITY;
+        return;
+    }
+    fp_to_be(out, x.c1);
+    fp_to_be(out + 48, x.c0);
+    out[0] |= FLAG_COMPRESSED;
+    if (fp2_lex_larger(y)) out[0] |= FLAG_SIGN;
+}
+
+// ---------------------------------------------------------------------------
+// Pairing (parity: oracle/pairing.py -- affine Fp12 Miller loop, untwist,
+// conjugate for negative x, easy part + Shamir 4-way hard part)
+// ---------------------------------------------------------------------------
+
+struct PtFp12 {
+    Fp12 x, y;
+};
+
+// untwist (x, y) in E'(Fp2) -> E(Fp12): x/xi into (b0, v^2), y/xi into (b1, v)
+static PtFp12 untwist(const Fp2 &x, const Fp2 &y) {
+    // xi = 1 + u; xi_inv computed once
+    Fp2 xi;
+    xi.c0 = fp_one();
+    xi.c1 = fp_one();
+    Fp2 xi_inv;
+    fp2_inv(xi_inv, xi);
+    Fp2 xs, ys;
+    fp2_mul(xs, x, xi_inv);
+    fp2_mul(ys, y, xi_inv);
+    PtFp12 r;
+    r.x.b0 = fp6_zero();
+    r.x.b1 = fp6_zero();
+    r.x.b0.a2 = xs;
+    r.y.b0 = fp6_zero();
+    r.y.b1 = fp6_zero();
+    r.y.b1.a1 = ys;
+    return r;
+}
+
+static Fp12 embed_fp(const Fp &a) {
+    Fp12 r;
+    r.b0 = fp6_zero();
+    r.b1 = fp6_zero();
+    r.b0.a0.c0 = a;
+    r.b0.a0.c1 = FP_ZERO;
+    return r;
+}
+
+// line through T (tangent if q == nullptr) evaluated at P; updates T
+static void line_eval(Fp12 &l, PtFp12 &t, const PtFp12 *q, const Fp12 &px, const Fp12 &py) {
+    Fp12 num, den, lam;
+    if (q == nullptr) {
+        Fp12 tx2;
+        fp12_sqr(tx2, t.x);
+        Fp three = fp_one();
+        Fp tmp;
+        fp_add(tmp, three, three);
+        fp_add(three, tmp, three);
+        Fp12 three12 = embed_fp(three);
+        fp12_mul(num, tx2, three12);
+        Fp12 ty2 = t.y;
+        fp6_add(ty2.b0, t.y.b0, t.y.b0);
+        fp6_add(ty2.b1, t.y.b1, t.y.b1);
+        den = ty2;
+    } else {
+        // num = qy - ty; den = qx - tx
+        Fp12 d, n;
+        fp6_sub(n.b0, q->y.b0, t.y.b0);
+        fp6_sub(n.b1, q->y.b1, t.y.b1);
+        num = n;
+        fp6_sub(d.b0, q->x.b0, t.x.b0);
+        fp6_sub(d.b1, q->x.b1, t.x.b1);
+        den = d;
+    }
+    Fp12 den_inv;
+    fp12_inv(den_inv, den);
+    fp12_mul(lam, num, den_inv);
+    // l = (py - ty) - lam * (px - tx)
+    Fp12 t1, t2;
+    fp6_sub(t1.b0, py.b0, t.y.b0);
+    fp6_sub(t1.b1, py.b1, t.y.b1);
+    fp6_sub(t2.b0, px.b0, t.x.b0);
+    fp6_sub(t2.b1, px.b1, t.x.b1);
+    Fp12 lt;
+    fp12_mul(lt, lam, t2);
+    fp6_sub(l.b0, t1.b0, lt.b0);
+    fp6_sub(l.b1, t1.b1, lt.b1);
+    // T' = T + Q (or 2T)
+    const PtFp12 &o = q ? *q : t;
+    Fp12 lam2, x3, y3;
+    fp12_sqr(lam2, lam);
+    fp6_sub(x3.b0, lam2.b0, t.x.b0);
+    fp6_sub(x3.b1, lam2.b1, t.x.b1);
+    fp6_sub(x3.b0, x3.b0, o.x.b0);
+    fp6_sub(x3.b1, x3.b1, o.x.b1);
+    Fp12 dx;
+    fp6_sub(dx.b0, t.x.b0, x3.b0);
+    fp6_sub(dx.b1, t.x.b1, x3.b1);
+    Fp12 ld;
+    fp12_mul(ld, lam, dx);
+    fp6_sub(y3.b0, ld.b0, t.y.b0);
+    fp6_sub(y3.b1, ld.b1, t.y.b1);
+    t.x = x3;
+    t.y = y3;
+}
+
+// Miller loop f_{|x|, Q}(P), conjugated for the negative BLS parameter.
+// Identity inputs yield 1 (neutral), matching the oracle.
+static Fp12 miller_loop(const Fp &px, const Fp &py, bool p_inf, const Fp2 &qx, const Fp2 &qy, bool q_inf) {
+    if (p_inf || q_inf) return fp12_one();
+    Fp12 p12x = embed_fp(px), p12y = embed_fp(py);
+    PtFp12 q12 = untwist(qx, qy);
+    PtFp12 t = q12;
+    Fp12 f = fp12_one();
+    uint64_t x = BLS_X_ABS;
+    int top = 63;
+    while (!((x >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        Fp12 l;
+        line_eval(l, t, nullptr, p12x, p12y);
+        fp12_sqr(f, f);
+        fp12_mul(f, f, l);
+        if ((x >> i) & 1) {
+            line_eval(l, t, &q12, p12x, p12y);
+            fp12_mul(f, f, l);
+        }
+    }
+    Fp12 r;
+    fp12_conj(r, f);
+    return r;
+}
+
+static Fp12 final_exponentiation(const Fp12 &f) {
+    // easy part: f^((p^6-1)(p^2+1))
+    Fp12 finv, m, m2;
+    fp12_inv(finv, f);
+    fp12_conj(m, f);
+    fp12_mul(m, m, finv);
+    fp12_frobenius(m2, m);
+    fp12_frobenius(m2, m2);
+    fp12_mul(m, m2, m);
+    // hard part: Shamir 4-way multi-exp with base-p lambdas
+    Fp12 bases[4];
+    bases[0] = m;
+    for (int i = 1; i < 4; i++) fp12_frobenius(bases[i], bases[i - 1]);
+    Fp12 table[16];
+    table[0] = fp12_one();
+    for (int mask = 1; mask < 16; mask++) {
+        int low = mask & (-mask);
+        int bit = 0;
+        while (!((low >> bit) & 1)) bit++;
+        fp12_mul(table[mask], table[mask ^ low], bases[bit]);
+    }
+    const uint64_t *lams[4] = {FE_LAMBDA0, FE_LAMBDA1, FE_LAMBDA2, FE_LAMBDA3};
+    int nbits = 0;
+    for (int j = 0; j < 4; j++) {
+        for (int i = 383; i >= 0; i--) {
+            if ((lams[j][i / 64] >> (i % 64)) & 1) {
+                if (i + 1 > nbits) nbits = i + 1;
+                break;
+            }
+        }
+    }
+    Fp12 acc = fp12_one();
+    for (int i = nbits - 1; i >= 0; i--) {
+        fp12_sqr(acc, acc);
+        int mask = 0;
+        for (int j = 0; j < 4; j++) mask |= (int)((lams[j][i / 64] >> (i % 64)) & 1) << j;
+        if (mask) fp12_mul(acc, acc, table[mask]);
+    }
+    return acc;
+}
+
+// ---------------------------------------------------------------------------
+// SHA-256 (own implementation; FIPS 180-4)
+// ---------------------------------------------------------------------------
+
+static const uint32_t SHA_K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1, 0x923f82a4,
+    0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3, 0x72be5d74, 0x80deb1fe,
+    0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc, 0x2de92c6f,
+    0x4a7484aa, 0x5cb0a9dc, 0x76f988da, 0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7,
+    0xc6e00bf3, 0xd5a79147, 0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc,
+    0x53380d13, 0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070, 0x19a4c116,
+    0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f, 0x682e6ff3,
+    0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208, 0x90befffa, 0xa4506ceb, 0xbef9a3f7,
+    0xc67178f2};
+
+static inline uint32_t rotr(uint32_t x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static void sha256_compress(uint32_t h[8], const uint8_t block[64]) {
+    uint32_t w[64];
+    for (int i = 0; i < 16; i++)
+        w[i] = ((uint32_t)block[4 * i] << 24) | ((uint32_t)block[4 * i + 1] << 16) |
+               ((uint32_t)block[4 * i + 2] << 8) | block[4 * i + 3];
+    for (int i = 16; i < 64; i++) {
+        uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3);
+        uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10);
+        w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4], f = h[5], g = h[6], hh = h[7];
+    for (int i = 0; i < 64; i++) {
+        uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+        uint32_t ch = (e & f) ^ (~e & g);
+        uint32_t t1 = hh + S1 + ch + SHA_K[i] + w[i];
+        uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+        uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+        uint32_t t2 = S0 + maj;
+        hh = g;
+        g = f;
+        f = e;
+        e = d + t1;
+        d = c;
+        c = b;
+        b = a;
+        a = t1 + t2;
+    }
+    h[0] += a;
+    h[1] += b;
+    h[2] += c;
+    h[3] += d;
+    h[4] += e;
+    h[5] += f;
+    h[6] += g;
+    h[7] += hh;
+}
+
+// ---------------------------------------------------------------------------
+// Exported C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void kzgn_sha256(const uint8_t *data, size_t len, uint8_t out[32]) {
+    uint32_t h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                     0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+    size_t full = len / 64;
+    for (size_t i = 0; i < full; i++) sha256_compress(h, data + 64 * i);
+    uint8_t block[128] = {0};
+    size_t rem = len - full * 64;
+    memcpy(block, data + full * 64, rem);
+    block[rem] = 0x80;
+    size_t nblocks = (rem + 9 <= 64) ? 1 : 2;
+    uint64_t bitlen = (uint64_t)len * 8;
+    for (int i = 0; i < 8; i++)
+        block[nblocks * 64 - 1 - i] = (uint8_t)(bitlen >> (8 * i));
+    for (size_t i = 0; i < nblocks; i++) sha256_compress(h, block + 64 * i);
+    for (int i = 0; i < 8; i++) {
+        out[4 * i] = (uint8_t)(h[i] >> 24);
+        out[4 * i + 1] = (uint8_t)(h[i] >> 16);
+        out[4 * i + 2] = (uint8_t)(h[i] >> 8);
+        out[4 * i + 3] = (uint8_t)h[i];
+    }
+}
+
+// Decompress n G1 points. out_xy: 96 bytes each (x||y big-endian), out_inf:
+// 1 byte each. Returns 0 on success, or (index+1) of the first bad point.
+long kzgn_g1_decompress_batch(const uint8_t *in, size_t n, int subgroup_check,
+                              uint8_t *out_xy, uint8_t *out_inf) {
+    for (size_t i = 0; i < n; i++) {
+        Fp x, y;
+        int rc = g1_decompress(in + 48 * i, x, y, subgroup_check != 0);
+        if (rc < 0) return (long)(i + 1);
+        if (rc == 1) {
+            memset(out_xy + 96 * i, 0, 96);
+            out_inf[i] = 1;
+        } else {
+            fp_to_be(out_xy + 96 * i, x);
+            fp_to_be(out_xy + 96 * i + 48, y);
+            out_inf[i] = 0;
+        }
+    }
+    return 0;
+}
+
+long kzgn_g2_decompress_batch(const uint8_t *in, size_t n, int subgroup_check,
+                              uint8_t *out_xy, uint8_t *out_inf) {
+    for (size_t i = 0; i < n; i++) {
+        Fp2 x, y;
+        int rc = g2_decompress(in + 96 * i, x, y, subgroup_check != 0);
+        if (rc < 0) return (long)(i + 1);
+        if (rc == 1) {
+            memset(out_xy + 192 * i, 0, 192);
+            out_inf[i] = 1;
+        } else {
+            fp_to_be(out_xy + 192 * i, x.c0);
+            fp_to_be(out_xy + 192 * i + 48, x.c1);
+            fp_to_be(out_xy + 192 * i + 96, y.c0);
+            fp_to_be(out_xy + 192 * i + 144, y.c1);
+            out_inf[i] = 0;
+        }
+    }
+    return 0;
+}
+
+// Compress n G1 affine points given as 96-byte x||y (big-endian) + inf flags.
+long kzgn_g1_compress_batch(const uint8_t *xy, const uint8_t *inf, size_t n, uint8_t *out) {
+    for (size_t i = 0; i < n; i++) {
+        if (inf[i]) {
+            g1_compress(out + 48 * i, FP_ZERO, FP_ZERO, true);
+            continue;
+        }
+        Fp x, y;
+        if (!fp_from_be(x, xy + 96 * i)) return (long)(i + 1);
+        if (!fp_from_be(y, xy + 96 * i + 48)) return (long)(i + 1);
+        g1_compress(out + 48 * i, x, y, false);
+    }
+    return 0;
+}
+
+// e(a1, a2) == e(b1, b2)?  Points as raw affine big-endian bytes + inf flags.
+// Returns 1 true, 0 false, negative on malformed field elements.
+int kzgn_pairings_verify(const uint8_t a1[96], int a1_inf, const uint8_t a2[192], int a2_inf,
+                         const uint8_t b1[96], int b1_inf, const uint8_t b2[192], int b2_inf) {
+    Fp a1x = FP_ZERO, a1y = FP_ZERO, b1x = FP_ZERO, b1y = FP_ZERO;
+    Fp2 a2x = FP2_ZERO_V, a2y = FP2_ZERO_V, b2x = FP2_ZERO_V, b2y = FP2_ZERO_V;
+    if (!a1_inf && (!fp_from_be(a1x, a1) || !fp_from_be(a1y, a1 + 48))) return -1;
+    if (!b1_inf && (!fp_from_be(b1x, b1) || !fp_from_be(b1y, b1 + 48))) return -1;
+    if (!a2_inf &&
+        (!fp_from_be(a2x.c0, a2) || !fp_from_be(a2x.c1, a2 + 48) ||
+         !fp_from_be(a2y.c0, a2 + 96) || !fp_from_be(a2y.c1, a2 + 144)))
+        return -1;
+    if (!b2_inf &&
+        (!fp_from_be(b2x.c0, b2) || !fp_from_be(b2x.c1, b2 + 48) ||
+         !fp_from_be(b2y.c0, b2 + 96) || !fp_from_be(b2y.c1, b2 + 144)))
+        return -1;
+    // e(-a1, a2) * e(b1, b2) == 1
+    Fp na1y;
+    fp_neg(na1y, a1y);
+    Fp12 f1 = miller_loop(a1x, na1y, a1_inf != 0, a2x, a2y, a2_inf != 0);
+    Fp12 f2 = miller_loop(b1x, b1y, b1_inf != 0, b2x, b2y, b2_inf != 0);
+    Fp12 f;
+    fp12_mul(f, f1, f2);
+    Fp12 e = final_exponentiation(f);
+    return fp12_is_one(e) ? 1 : 0;
+}
+
+// out = scalar * P, affine bytes in/out. Returns 1 if result is infinity.
+int kzgn_g1_mul(const uint8_t xy[96], int inf, const uint8_t scalar_be[32], uint8_t out_xy[96]) {
+    if (inf) {
+        memset(out_xy, 0, 96);
+        return 1;
+    }
+    Fp x, y;
+    if (!fp_from_be(x, xy) || !fp_from_be(y, xy + 48)) return -1;
+    uint64_t e[4];
+    for (int i = 0; i < 4; i++) {
+        uint64_t v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | scalar_be[(3 - i) * 8 + j];
+        e[i] = v;
+    }
+    Jac<Fp> p = jac_from_affine<Fp>(x, y), r;
+    jac_mul_scalar(r, p, e, 4);
+    Fp rx, ry;
+    if (!jac_to_affine(rx, ry, r)) {
+        memset(out_xy, 0, 96);
+        return 1;
+    }
+    fp_to_be(out_xy, rx);
+    fp_to_be(out_xy + 48, ry);
+    return 0;
+}
+
+// out = P + Q, affine bytes. inf flags per point. Returns 1 if result inf.
+int kzgn_g1_add(const uint8_t p_xy[96], int p_inf, const uint8_t q_xy[96], int q_inf,
+                uint8_t out_xy[96]) {
+    Jac<Fp> pj = jac_identity<Fp>(), qj = jac_identity<Fp>();
+    Fp x, y;
+    if (!p_inf) {
+        if (!fp_from_be(x, p_xy) || !fp_from_be(y, p_xy + 48)) return -1;
+        pj = jac_from_affine<Fp>(x, y);
+    }
+    if (!q_inf) {
+        if (!fp_from_be(x, q_xy) || !fp_from_be(y, q_xy + 48)) return -1;
+        qj = jac_from_affine<Fp>(x, y);
+    }
+    Jac<Fp> r;
+    jac_add(r, pj, qj);
+    Fp rx, ry;
+    if (!jac_to_affine(rx, ry, r)) {
+        memset(out_xy, 0, 96);
+        return 1;
+    }
+    fp_to_be(out_xy, rx);
+    fp_to_be(out_xy + 48, ry);
+    return 0;
+}
+
+// out = scalar * P on G2, raw affine bytes (x.c0||x.c1||y.c0||y.c1).
+int kzgn_g2_mul(const uint8_t xy[192], int inf, const uint8_t scalar_be[32], uint8_t out_xy[192]) {
+    if (inf) {
+        memset(out_xy, 0, 192);
+        return 1;
+    }
+    Fp2 x, y;
+    if (!fp_from_be(x.c0, xy) || !fp_from_be(x.c1, xy + 48) ||
+        !fp_from_be(y.c0, xy + 96) || !fp_from_be(y.c1, xy + 144))
+        return -1;
+    uint64_t e[4];
+    for (int i = 0; i < 4; i++) {
+        uint64_t v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | scalar_be[(3 - i) * 8 + j];
+        e[i] = v;
+    }
+    Jac<Fp2> p = jac_from_affine<Fp2>(x, y), r;
+    jac_mul_scalar(r, p, e, 4);
+    Fp2 rx, ry;
+    if (!jac_to_affine(rx, ry, r)) {
+        memset(out_xy, 0, 192);
+        return 1;
+    }
+    fp_to_be(out_xy, rx.c0);
+    fp_to_be(out_xy + 48, rx.c1);
+    fp_to_be(out_xy + 96, ry.c0);
+    fp_to_be(out_xy + 144, ry.c1);
+    return 0;
+}
+
+int kzgn_g2_add(const uint8_t p_xy[192], int p_inf, const uint8_t q_xy[192], int q_inf,
+                uint8_t out_xy[192]) {
+    Jac<Fp2> pj = jac_identity<Fp2>(), qj = jac_identity<Fp2>();
+    Fp2 x, y;
+    if (!p_inf) {
+        if (!fp_from_be(x.c0, p_xy) || !fp_from_be(x.c1, p_xy + 48) ||
+            !fp_from_be(y.c0, p_xy + 96) || !fp_from_be(y.c1, p_xy + 144))
+            return -1;
+        pj = jac_from_affine<Fp2>(x, y);
+    }
+    if (!q_inf) {
+        if (!fp_from_be(x.c0, q_xy) || !fp_from_be(x.c1, q_xy + 48) ||
+            !fp_from_be(y.c0, q_xy + 96) || !fp_from_be(y.c1, q_xy + 144))
+            return -1;
+        qj = jac_from_affine<Fp2>(x, y);
+    }
+    Jac<Fp2> r;
+    jac_add(r, pj, qj);
+    Fp2 rx, ry;
+    if (!jac_to_affine(rx, ry, r)) {
+        memset(out_xy, 0, 192);
+        return 1;
+    }
+    fp_to_be(out_xy, rx.c0);
+    fp_to_be(out_xy + 48, rx.c1);
+    fp_to_be(out_xy + 96, ry.c0);
+    fp_to_be(out_xy + 144, ry.c1);
+    return 0;
+}
+
+int kzgn_version() { return 1; }
+
+}  // extern "C"

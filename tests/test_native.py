@@ -1,0 +1,123 @@
+"""Differential tests: native C++ core vs the pure-Python oracle.
+
+Mirrors the reference's differential-fuzzing discipline
+(/root/reference/fuzz/src/lib.rs) at the unit level.
+"""
+
+import hashlib
+import random
+
+import pytest
+
+from kzg_tpu import native
+from kzg_tpu.constants import R_MOD as R
+from kzg_tpu.oracle import serialization as ser
+from kzg_tpu.oracle.curve import G1, G2, G1_GENERATOR, G2_GENERATOR
+from kzg_tpu.oracle.pairing import pairings_verify as oracle_pv
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (native/build.sh)"
+)
+
+rng = random.Random(77)
+
+
+def rand_g1(allow_inf=False):
+    if allow_inf and rng.random() < 0.2:
+        return None
+    return G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R))
+
+
+def test_sha256():
+    for n in [0, 1, 55, 56, 63, 64, 65, 1000, 131072]:
+        data = bytes(rng.randrange(256) for _ in range(min(n, 2048))) * (
+            1 if n <= 2048 else n // 2048
+        )
+        data = data[:n] if len(data) >= n else data + bytes(n - len(data))
+        assert native.sha256(data) == hashlib.sha256(data).digest()
+
+
+def test_g1_roundtrip():
+    pts = [rand_g1(allow_inf=True) for _ in range(16)]
+    compressed = b"".join(ser.g1_to_bytes(p) for p in pts)
+    got = native.g1_decompress_batch(compressed)
+    assert got == pts
+    back = native.g1_compress_batch(pts)
+    assert b"".join(back) == compressed
+
+
+def test_g1_rejects_bad():
+    good = ser.g1_to_bytes(rand_g1())
+    bad_cases = [
+        bytes(48),  # no compressed flag
+        bytes([0xC0]) + bytes(46) + b"\x01",  # malformed infinity
+        bytes([0xE0]) + bytes(47),  # infinity with sign bit
+        b"\x9f" + b"\xff" * 47,  # x >= p
+    ]
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            native.g1_decompress_batch(good + bad)
+
+
+def test_g1_subgroup_rejection():
+    # a point on the curve but outside the r-subgroup
+    from kzg_tpu.constants import P_MOD as P
+    from kzg_tpu.oracle import field as F
+
+    x = 4
+    while True:
+        y = F.fp_sqrt((x * x * x + 4) % P)
+        if y is not None and not G1.in_subgroup((x, y)):
+            break
+        x += 1
+    b = ser.g1_to_bytes((x, y))
+    with pytest.raises(ValueError):
+        native.g1_decompress_batch(b, subgroup_check=True)
+    assert native.g1_decompress_batch(b, subgroup_check=False) == [(x, y)]
+
+
+def test_g2_roundtrip():
+    pts = [G2.mul_scalar(G2_GENERATOR, rng.randrange(1, R)) for _ in range(4)] + [None]
+    compressed = b"".join(ser.g2_to_bytes(p) for p in pts)
+    got = native.g2_decompress_batch(compressed)
+    assert got == pts
+
+
+def test_g1_mul_add():
+    p = rand_g1()
+    q = rand_g1()
+    k = rng.randrange(R)
+    assert native.g1_mul(p, k) == G1.mul_scalar(p, k)
+    assert native.g1_add(p, q) == G1.affine_add(p, q)
+    assert native.g1_add(p, None) == p
+    assert native.g1_add(p, G1.affine_neg(p)) is None
+    assert native.g1_mul(p, 0) is None
+
+
+def test_pairings_verify_bilinear():
+    a = rng.randrange(1, R)
+    b = rng.randrange(1, R)
+    pa = G1.mul_scalar(G1_GENERATOR, a)
+    qb = G2.mul_scalar(G2_GENERATOR, b)
+    pab = G1.mul_scalar(G1_GENERATOR, a * b % R)
+    # e(aG, bH) == e(abG, H)
+    assert native.pairings_verify(pa, qb, pab, G2_GENERATOR)
+    # and the negative case
+    assert not native.pairings_verify(pa, qb, G1_GENERATOR, G2_GENERATOR)
+
+
+def test_pairings_verify_vs_oracle_random():
+    for _ in range(2):
+        a1, b1 = rand_g1(True), rand_g1(True)
+        a2 = G2.mul_scalar(G2_GENERATOR, rng.randrange(R))
+        b2 = G2.mul_scalar(G2_GENERATOR, rng.randrange(R))
+        assert native.pairings_verify(a1, a2, b1, b2) == oracle_pv(a1, a2, b1, b2)
+
+
+def test_pairings_infinity_semantics():
+    p = rand_g1()
+    q = G2.mul_scalar(G2_GENERATOR, 5)
+    assert native.pairings_verify(None, q, None, G2_GENERATOR) == oracle_pv(
+        None, q, None, G2_GENERATOR
+    )
+    assert native.pairings_verify(p, q, None, None) == oracle_pv(p, q, None, None)
