@@ -1,0 +1,446 @@
+"""EIP-7594 (PeerDAS) cell operations, device compute path.
+
+Same host/device split as eip4844.py: Fr FFTs, FK20 Toeplitz products (as
+one batched fixed-base MSM family over the precomputed column tables), the
+two size-128 G1 FFTs, erasure recovery and batch-verification MSMs run
+jitted on device; SHA transcripts, codecs and the single pairing on host.
+
+Algorithm parity: /root/reference/kzg/src/das.rs (see oracle/das.py for the
+line-by-line mapping); bit-exactness enforced by the consensus vectors.
+"""
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bytes as bs
+from . import native
+from .constants import (
+    BYTES_PER_CELL,
+    CELLS_PER_EXT_BLOB,
+    FIELD_ELEMENTS_PER_BLOB,
+    FIELD_ELEMENTS_PER_CELL,
+    FIELD_ELEMENTS_PER_EXT_BLOB,
+    R_MOD as R,
+    RECOVERY_SHIFT_FACTOR,
+)
+from .oracle.das import (
+    CELL_INDICES_RBL,
+    compute_vanishing_polynomial_from_roots,
+    compute_verify_cell_kzg_proof_batch_challenge,
+    _deduplicate_with_indices,
+)
+from .oracle.eip4844 import compute_powers
+from .oracle.curve import G2_GENERATOR
+from .ops import field as fl
+from .ops import g1 as dg1
+from .ops import msm as dmsm
+from .ops.fft import brp_indices, fft as dfft, ifft as difft
+from .ops.field import FR
+from .ops.g1fft import fft_g1 as dfft_g1
+from .settings import DeviceKZGSettings
+
+N = FIELD_ELEMENTS_PER_BLOB
+N_EXT = FIELD_ELEMENTS_PER_EXT_BLOB
+CELL = FIELD_ELEMENTS_PER_CELL
+K2 = CELLS_PER_EXT_BLOB  # 128
+
+
+# ---------------------------------------------------------------------------
+# Settings extensions (cached on the DeviceKZGSettings instance)
+# ---------------------------------------------------------------------------
+
+
+def _column_tables(s: DeviceKZGSettings) -> dmsm.FixedBaseTable:
+    """Fixed-base tables over the 128 FK20 columns: (L, w, 128, 64)."""
+    if not hasattr(s, "_col_tables"):
+        from .settings import build_table_cached
+
+        cols = s.oracle.x_ext_fft_columns  # 128 lists of 64 points
+        flat = [pt for col in cols for pt in col]
+        table = build_table_cached(flat, "x_ext_columns", c=8)
+        s._col_tables = dmsm.FixedBaseTable(
+            table.x.reshape(table.x.shape[:2] + (K2, CELL)),
+            table.y.reshape(table.y.shape[:2] + (K2, CELL)),
+            table.inf.reshape(table.inf.shape[:1] + (K2, CELL)),
+            table.c,
+        )
+    return s._col_tables
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_const_vector(values: tuple) -> np.ndarray:
+    r = 1 << (16 * FR.n_limbs)
+    return fl.ints_to_limbs([v * r % R for v in values], FR.n_limbs)
+
+
+def _shift_powers(factor: int, n: int) -> np.ndarray:
+    return _mont_const_vector(tuple(pow(factor, i, R) for i in range(n)))
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_gather(n: int, cell: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host index/mask arrays for the strided Toeplitz coefficient gather
+    (parity: toeplitz_coeffs_stride, das.rs:631-658). Returns
+    (idx (cell, 2r), mask (cell, 2r)) into the length-n monomial poly."""
+    r_ = n // cell
+    idx = np.zeros((cell, 2 * r_), dtype=np.int64)
+    mask = np.zeros((cell, 2 * r_), dtype=bool)
+    d = n - 1
+    for i in range(cell):
+        idx[i, 0] = d - i
+        mask[i, 0] = True
+        for j in range(1, r_ - 1):
+            idx[i, 2 * r_ - j] = d - i - j * cell
+            mask[i, 2 * r_ - j] = True
+    return idx, mask
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def _lagrange_to_monomial(blob_m: jnp.ndarray) -> jnp.ndarray:
+    """(16, B, 4096) lagrange (natural wire order) -> monomial coeffs
+    (parity: poly_lagrange_to_monomial, das.rs:618-629)."""
+    brp = jnp.take(blob_m, jnp.asarray(brp_indices(N)), axis=-1)
+    return difft(brp)
+
+
+@jax.jit
+def _cells_kernel(blob_m: jnp.ndarray) -> jnp.ndarray:
+    """blob (16, B, 4096) Montgomery -> cells (16, B, 8192) canonical, in
+    bit-reversed (wire) order."""
+    poly = _lagrange_to_monomial(blob_m)
+    padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
+    ext = dfft(padded)
+    ext = jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+    return fl.to_canonical(FR, ext)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _fk20_core(
+    poly_m: jnp.ndarray,
+    tab_x: jnp.ndarray,
+    tab_y: jnp.ndarray,
+    tab_inf: jnp.ndarray,
+    c: int,
+) -> dg1.G1XYZZ:
+    """FK20 proofs for monomial polys (16, B, 8192) -> XYZZ (…, B, 128) in
+    bit-reversed order (parity: compute_fk20_proofs, das.rs:660-696)."""
+    table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    B = poly_m.shape[1]
+    idx, mask = _toeplitz_gather(N, CELL)
+    base = poly_m[:, :, :N]
+    toeplitz = jnp.take(base, jnp.asarray(idx).reshape(-1), axis=-1).reshape(
+        (FR.n_limbs, B, CELL, 2 * (N // CELL))
+    )
+    toeplitz = jnp.where(
+        jnp.asarray(mask)[None, None], toeplitz, jnp.zeros_like(toeplitz)
+    )
+    tf = dfft(toeplitz)  # (16, B, 64, 128)
+    coeffs = jnp.swapaxes(tf, 2, 3)  # (16, B, 128, 64)
+    scalars = fl.to_canonical(FR, coeffs)
+
+    h_ext = dmsm.msm_fixed_core(table, scalars)  # (…, B, 128)
+    h = dfft_g1(h_ext, inverse=True)
+    # zero the top half
+    lane = jnp.arange(K2)
+    keep = lane < (K2 // 2)
+    h = dg1.select_point(
+        jnp.broadcast_to(keep, h.x.shape[1:]), h, dg1.infinity(h.x.shape[1:])
+    )
+    proofs = dfft_g1(h)
+    return dg1.G1XYZZ(
+        *(jnp.take(cc, jnp.asarray(brp_indices(K2)), axis=-1) for cc in proofs)
+    )
+
+
+def _fk20_proofs_jit(poly_m: jnp.ndarray, s: DeviceKZGSettings) -> dg1.G1XYZZ:
+    t = _column_tables(s)
+    return _fk20_core(poly_m, t.x, t.y, t.inf, t.c)
+
+
+@jax.jit
+def _recover_kernel(
+    cells_brp_m: jnp.ndarray,
+    missing_mask: jnp.ndarray,
+    vanish_coeff_m: jnp.ndarray,
+    shift_pows: jnp.ndarray,
+    unshift_pows: jnp.ndarray,
+):
+    """Erasure recovery core (parity: recover_cells, das.rs:549-616).
+
+    cells_brp_m: (16, B, 8192) Montgomery evaluations in NATURAL domain
+    order with garbage at missing slots; missing_mask: (B, 8192) True where
+    missing; vanish_coeff_m: (16, B, 8192) vanishing poly coefficients.
+    Returns recovered evaluations, natural order, Montgomery.
+    """
+    vanish_eval = dfft(vanish_coeff_m)
+    e_times_z = fl.mont_mul(FR, cells_brp_m, vanish_eval)
+    e_times_z = jnp.where(missing_mask[None], jnp.zeros_like(e_times_z), e_times_z)
+    coeffs = difft(e_times_z)
+
+    def coset_fft(x):
+        return dfft(fl.mont_mul(FR, x, jnp.broadcast_to(shift_pows[:, None, :], x.shape)))
+
+    ext_coset = coset_fft(coeffs)
+    vanish_coset = coset_fft(vanish_coeff_m)
+    vinv, _ = fl.batch_inv_tree(FR, vanish_coset)
+    quotient = fl.mont_mul(FR, ext_coset, vinv)
+    recon_coeff = fl.mont_mul(
+        FR,
+        difft(quotient),
+        jnp.broadcast_to(unshift_pows[:, None, :], quotient.shape),
+    )
+    return dfft(recon_coeff), recon_coeff
+
+
+# ---------------------------------------------------------------------------
+# Public API (raw bytes)
+# ---------------------------------------------------------------------------
+
+
+def compute_cells_and_kzg_proofs(
+    blob_bytes: bytes, s: DeviceKZGSettings, with_proofs: bool = True
+) -> Tuple[List[bytes], List[bytes]]:
+    out = compute_cells_and_kzg_proofs_batch([blob_bytes], s, with_proofs)
+    return out[0][0], out[1][0]
+
+
+def compute_cells_and_kzg_proofs_batch(
+    blobs: Sequence[bytes], s: DeviceKZGSettings, with_proofs: bool = True
+):
+    """(parity: DAS::compute_cells_and_kzg_proofs, das.rs:244-292)"""
+    limbs = np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1)
+    blob_m = fl.from_canonical(FR, jnp.asarray(limbs))
+    cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
+    cells_np = np.asarray(cells_can)
+    all_cells = []
+    for b in range(len(blobs)):
+        raw = bs.frs_to_bytes(cells_np[:, b, :])
+        all_cells.append(
+            [raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)]
+        )
+    all_proofs = []
+    if with_proofs:
+        poly = _lagrange_to_monomial(blob_m)
+        poly = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
+        proofs = _fk20_proofs_jit(poly, s)
+        aff_pts = dg1.xyzz_to_ints(proofs)  # flattened (B*128)
+        for b in range(len(blobs)):
+            all_proofs.append(
+                native.g1_compress_batch(aff_pts[b * K2 : (b + 1) * K2])
+            )
+    return all_cells, all_proofs
+
+
+def recover_cells_and_kzg_proofs(
+    cell_indices: Sequence[int],
+    cells_bytes: Sequence[bytes],
+    s: DeviceKZGSettings,
+) -> Tuple[List[bytes], List[bytes]]:
+    """(parity: DAS::recover_cells_and_kzg_proofs, das.rs:101-207)"""
+    from .oracle.das import reverse_bits_limited
+
+    if len(cells_bytes) != len(cell_indices):
+        raise ValueError("Cell indices mismatch - cells length must be equal")
+    if len(cells_bytes) > K2:
+        raise ValueError("Cell length cannot be larger than CELLS_PER_EXT_BLOB")
+    if len(cells_bytes) < K2 // 2:
+        raise ValueError("Impossible to recover - not enough cells")
+
+    provided = set()
+    cell_limbs = np.zeros((FR.n_limbs, N_EXT), dtype=np.uint32)
+    for i, idx in enumerate(cell_indices):
+        if idx >= K2:
+            raise ValueError(f"Invalid cell index {idx}")
+        if i + 1 < len(cell_indices) and cell_indices[i + 1] <= idx:
+            raise ValueError("Invalid cell indices: must be strictly ascending")
+        if idx in provided:
+            raise ValueError(f"Invalid cell indices: cell index {idx} appears twice")
+        provided.add(idx)
+        if len(cells_bytes[i]) != BYTES_PER_CELL:
+            raise ValueError("Invalid cell length")
+        limbs, ok = bs.frs_from_bytes(cells_bytes[i])
+        if not ok.all():
+            raise ValueError("Invalid cell: scalar not canonical")
+        cell_limbs[:, idx * CELL : (idx + 1) * CELL] = limbs
+
+    if len(provided) == K2:
+        recovered_m = fl.from_canonical(FR, jnp.asarray(cell_limbs)[:, None, :])
+        # natural order for proof computation below
+        brp = jnp.take(recovered_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+        natural_m = brp
+    else:
+        missing_cells = [
+            reverse_bits_limited(K2, i) for i in range(K2) if i not in provided
+        ]
+        if len(missing_cells) > K2 // 2:
+            raise ValueError("Not enough cells")
+        roots = s.oracle.fft.roots_of_unity
+        stride = N_EXT // K2
+        short = compute_vanishing_polynomial_from_roots(
+            [roots[i * stride] for i in missing_cells]
+        )
+        vanish = np.zeros((FR.n_limbs, N_EXT), dtype=np.uint32)
+        vcoef = [0] * N_EXT
+        for i, cv in enumerate(short):
+            vcoef[i * CELL] = cv
+        vanish = fl.ints_to_limbs(vcoef, FR.n_limbs)
+        r_mont = 1 << (16 * FR.n_limbs)
+
+        # missing element mask in NATURAL (brp-of-wire) order
+        miss_cell_wire = np.ones(K2, dtype=bool)
+        for idx in provided:
+            miss_cell_wire[idx] = False
+        elem_missing_wire = np.repeat(miss_cell_wire, CELL)
+        elem_missing_nat = elem_missing_wire[brp_indices(N_EXT)]
+
+        cells_nat = cell_limbs[:, brp_indices(N_EXT)]
+        cells_m = fl.from_canonical(FR, jnp.asarray(cells_nat)[:, None, :])
+        vanish_m = fl.from_canonical(FR, jnp.asarray(vanish)[:, None, :])
+        shift = jnp.asarray(_shift_powers(RECOVERY_SHIFT_FACTOR, N_EXT))
+        unshift = jnp.asarray(
+            _shift_powers(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT)
+        )
+        natural_eval, _ = _recover_kernel(
+            cells_m,
+            jnp.asarray(elem_missing_nat)[None],
+            vanish_m,
+            shift,
+            unshift,
+        )
+        natural_m = natural_eval
+
+    # cells out: wire order = brp of natural
+    wire = jnp.take(natural_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+    cells_can = np.asarray(fl.to_canonical(FR, wire))
+    raw = bs.frs_to_bytes(cells_can[:, 0, :])
+    out_cells = [
+        raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)
+    ]
+
+    # proofs over the recovered polynomial
+    poly = difft(natural_m)
+    proofs = _fk20_proofs_jit(poly, s)
+    proof_pts = dg1.xyzz_to_ints(proofs)
+    out_proofs = native.g1_compress_batch(proof_pts)
+    return out_cells, out_proofs
+
+
+@jax.jit
+def _interp_poly_kernel(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
+    """Aggregated column interpolation: per-column iFFT(64) then coset
+    unshift (parity: das.rs:778-839). agg_m: (16, 128, 64) Montgomery in
+    wire (brp) order per column; inv_shift_pows: (16, 128, 64)."""
+    chunks = jnp.take(agg_m, jnp.asarray(brp_indices(CELL)), axis=-1)
+    interp = difft(chunks)  # (16, 128, 64)
+    shifted = fl.mont_mul(FR, interp, inv_shift_pows)
+    return fl.sum_tree(FR, jnp.swapaxes(shifted, 1, 2))[..., 0]  # (16, 64)
+
+
+def verify_cell_kzg_proof_batch(
+    commitments_bytes: Sequence[bytes],
+    cell_indices: Sequence[int],
+    cells_bytes: Sequence[bytes],
+    proofs_bytes: Sequence[bytes],
+    s: DeviceKZGSettings,
+) -> bool:
+    """(parity: DAS::verify_cell_kzg_proof_batch, das.rs:294-452)"""
+    cell_count = len(cells_bytes)
+    if len(cell_indices) != cell_count:
+        raise ValueError("Cell count mismatch")
+    if len(commitments_bytes) != cell_count:
+        raise ValueError("Commitment count mismatch")
+    if len(proofs_bytes) != cell_count:
+        raise ValueError("Proof count mismatch")
+    if cell_count == 0:
+        return True
+    if any(idx >= K2 for idx in cell_indices):
+        raise ValueError("Invalid cell index")
+
+    proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
+    unique_cb, commitment_indices = _deduplicate_with_indices(list(commitments_bytes))
+    unique_commitments = native.g1_decompress_batch(b"".join(unique_cb))
+
+    cells_limbs = []
+    cells_fr = []
+    for cb in cells_bytes:
+        if len(cb) != BYTES_PER_CELL:
+            raise ValueError("Invalid cell length")
+        limbs, ok = bs.frs_from_bytes(cb)
+        if not ok.all():
+            raise ValueError("Invalid cell: scalar not canonical")
+        cells_limbs.append(limbs)
+        cells_fr.append(fl.limbs_to_ints(limbs))
+
+    r = compute_verify_cell_kzg_proof_batch_challenge(
+        unique_cb, commitment_indices, cell_indices, cells_fr, proofs_bytes, s.oracle
+    )
+    r_powers = compute_powers(r, cell_count)
+    roots = s.oracle.fft.roots_of_unity
+
+    # --- device MSM 1: proof lincomb + weighted proof sum, fused batch of 2
+    h_pows = [roots[CELL_INDICES_RBL[ci] * CELL] for ci in cell_indices]
+    weighted_r = [rp * hp % R for rp, hp in zip(r_powers, h_pows)]
+    pr = dg1.affine_from_ints(proofs)
+    pts2 = dg1.G1Aff(
+        jnp.stack([pr.x, pr.x], axis=1),
+        jnp.stack([pr.y, pr.y], axis=1),
+        jnp.stack([pr.inf, pr.inf], axis=0),
+    )
+    sc2 = np.stack(
+        [
+            fl.ints_to_limbs(r_powers, FR.n_limbs),
+            fl.ints_to_limbs(weighted_r, FR.n_limbs),
+        ],
+        axis=1,
+    )
+    out2 = dmsm.msm(pts2, jnp.asarray(sc2))
+    proof_lincomb, weighted_proofs = dg1.xyzz_to_ints(out2)
+
+    # --- weighted sum of commitments (das.rs:698-738)
+    weights = [0] * len(unique_commitments)
+    for i, ci in enumerate(commitment_indices):
+        weights[ci] = (weights[ci] + r_powers[i]) % R
+    cm = dg1.affine_from_ints(unique_commitments)
+    final_sum = dg1.xyzz_to_ints(
+        dmsm.msm(cm, jnp.asarray(fl.ints_to_limbs(weights, FR.n_limbs)))
+    )[0]
+
+    # --- aggregated interpolation polynomial commitment
+    agg = np.zeros((FR.n_limbs, K2, CELL), dtype=np.uint32)
+    agg_int = [[0] * CELL for _ in range(K2)]
+    for i, col in enumerate(cell_indices):
+        for k in range(CELL):
+            agg_int[col][k] = (agg_int[col][k] + cells_fr[i][k] * r_powers[i]) % R
+    for col in range(K2):
+        agg[:, col, :] = fl.ints_to_limbs(agg_int[col], FR.n_limbs)
+    inv_shifts = np.zeros((FR.n_limbs, K2, CELL), dtype=np.uint32)
+    for col in range(K2):
+        inv_factor = roots[N_EXT - CELL_INDICES_RBL[col]]
+        inv_shifts[:, col, :] = _mont_const_vector(
+            tuple(pow(inv_factor, k, R) for k in range(CELL))
+        )
+    agg_m = fl.from_canonical(FR, jnp.asarray(agg))
+    agg_poly = _interp_poly_kernel(agg_m, jnp.asarray(inv_shifts))  # (16, 64) mont
+    agg_scalars = fl.to_canonical(FR, agg_poly)
+    mono = s.monomial_table
+    sub_table = dmsm.FixedBaseTable(
+        mono.x[..., :CELL], mono.y[..., :CELL], mono.inf[..., :CELL], mono.c
+    )
+    interp_commit = dg1.xyzz_to_ints(dmsm.msm_fixed(sub_table, agg_scalars))[0]
+
+    final_g1 = native.g1_add(final_sum, None)
+    from .oracle.curve import G1
+
+    final_g1 = native.g1_add(final_g1, G1.affine_neg(interp_commit))
+    final_g1 = native.g1_add(final_g1, weighted_proofs)
+
+    power_of_s = s.oracle.g2_monomial[CELL]
+    return native.pairings_verify(final_g1, G2_GENERATOR, proof_lincomb, power_of_s)

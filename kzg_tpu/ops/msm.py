@@ -362,7 +362,11 @@ def _msm_fixed_jit(
 
 
 def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
-    """Unjitted fixed-base MSM body (composable under shard_map/jit)."""
+    """Unjitted fixed-base MSM body (composable under shard_map/jit).
+
+    The table may carry its own trailing batch dims (distinct base-point
+    sets, e.g. the 128 FK20 columns): table.x (L, w, *tbatch, n) with tbatch
+    broadcastable against the scalars' batch dims from the right."""
     c = table.c
     w = num_windows(c)
     half = 1 << (c - 1)
@@ -374,21 +378,29 @@ def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
     sign = digits < 0
     bucket = jnp.abs(digits)
 
-    tx = table.x  # (L, w, n)
-    ty = table.y
+    L = FP.n_limbs
+    tb = table.x.shape[2:-1]  # table's own batch dims
+    pad = (1,) * (len(batch) - len(tb))
+    tshape = lambda a, lead: lead + pad + tb + (n,)
+    tx = jnp.broadcast_to(
+        table.x.reshape(tshape(table.x, (L, w))), (L, w) + batch + (n,)
+    ).reshape(L, w, nb, n)
+    ty = jnp.broadcast_to(
+        table.y.reshape(tshape(table.y, (L, w))), (L, w) + batch + (n,)
+    ).reshape(L, w, nb, n)
+    tinf = jnp.broadcast_to(
+        table.inf.reshape(tshape(table.inf, (w,))), (w,) + batch + (n,)
+    ).reshape(w, nb, n)
+
     tyneg = fl.neg(FP, ty)
-    ex = jnp.broadcast_to(tx[:, :, None, :], (FP.n_limbs, w, nb, n))
-    ey = jnp.where(
-        sign[None],
-        jnp.broadcast_to(tyneg[:, :, None, :], (FP.n_limbs, w, nb, n)),
-        jnp.broadcast_to(ty[:, :, None, :], (FP.n_limbs, w, nb, n)),
-    )
-    einf = jnp.broadcast_to(table.inf[:, None, :], (w, nb, n))
+    ex = tx
+    ey = jnp.where(sign[None], tyneg, ty)
+    einf = tinf
 
     # key space: per-batch buckets (windows share buckets -- the table rows
     # already carry the 2^(c*j) factor)
     bidx = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
-    keys = bidx * (half + 1) + jnp.transpose(bucket, (0, 1, 2))
+    keys = bidx * (half + 1) + bucket
 
     E = nb * w * n
     flat_keys = keys.reshape(E)

@@ -60,6 +60,7 @@ def msm_fixed_sharded(
     fn = shard_map(
         shard_fn,
         mesh=mesh,
+        check_rep=False,
         in_specs=(
             P(None, None, point_axis),
             P(None, None, point_axis),
@@ -95,6 +96,7 @@ def msm_sharded(
     fn = shard_map(
         shard_fn,
         mesh=mesh,
+        check_rep=False,
         in_specs=(
             P(None, point_axis),
             P(None, point_axis),
