@@ -88,13 +88,22 @@ def _mul_fixed_scalars(p: G1XYZZ, digits: np.ndarray, signs: np.ndarray) -> G1XY
     h = digits.shape[1]
     batch = p.x.shape[1:]
 
-    # multiples[m] = m * p for m in 0..half (16 batched adds at c=5)
-    cur = g1.infinity(batch)
-    rows = [cur]
-    for _ in range(half):
-        cur = g1.add_unified(cur, p)
-        rows.append(cur)
-    mult = G1XYZZ(*(jnp.stack([r[k] for r in rows], axis=1) for k in range(4)))
+    # multiples[m] = m * p for m in 0..half, built with one traced add
+    zero = g1.infinity((half + 1,) + batch)
+
+    def mult_body(i, acc):
+        prev = G1XYZZ(
+            *(jax.lax.dynamic_index_in_dim(a, i - 1, 1, False) for a in acc)
+        )
+        nxt = g1.add_unified(prev, p)
+        return G1XYZZ(
+            *(
+                jax.lax.dynamic_update_index_in_dim(a, v, i, 1)
+                for a, v in zip(acc, nxt)
+            )
+        )
+
+    mult = jax.lax.fori_loop(1, half + 1, mult_body, zero)
     # leaves: (L, half+1, …, h)
 
     digs = jnp.asarray(digits)  # (w, h)

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Keep the CPU platform registered alongside any accelerator so the virtual
+# 8-device mesh tests can request jax.devices("cpu").
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 # Persistent compilation cache: the limb-arithmetic graphs are cheap to run
 # but slow for XLA:CPU to compile; cache them across test sessions.
 os.environ.setdefault(
