@@ -34,8 +34,12 @@ TWIDDLE_WINDOW = 5  # digits in [-16, 16]
 
 
 def _signed_digits_host(value: int, c: int):
-    """Booth-style signed c-bit windows of a 255-bit scalar, host-side."""
-    w = -(-255 // c)
+    """Booth-style signed c-bit windows of a 255-bit scalar, host-side.
+
+    Uses ceil(256/c) windows so the top window always has headroom for the
+    final borrow carry (with exactly ceil(255/c) windows and c | 255 the
+    carry would be silently dropped for ~half of all scalars)."""
+    w = -(-256 // c)
     half, full = 1 << (c - 1), 1 << c
     digits = []
     carry = 0
@@ -47,7 +51,8 @@ def _signed_digits_host(value: int, c: int):
         else:
             carry = 0
         digits.append(d)
-    assert carry == 0 or value >> (c * w) == 0
+    assert carry == 0, "signed digit encoding overflowed"
+    assert sum(x << (c * j) for j, x in enumerate(digits)) == value
     return digits
 
 
