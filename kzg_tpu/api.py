@@ -104,6 +104,13 @@ def recover_cells_and_kzg_proofs(
     return _e7.recover_cells_and_kzg_proofs(cell_indices, cells, s)
 
 
+def recover_cells_and_kzg_proofs_batch(
+    cell_indices_list, cells_list, s: Settings
+):
+    """(parity: recover_cells_and_kzg_proofs_batch, das.rs:210-242)"""
+    return _e7.recover_cells_and_kzg_proofs_batch(cell_indices_list, cells_list, s)
+
+
 def verify_cell_kzg_proof_batch(
     commitments: Sequence[bytes],
     cell_indices: Sequence[int],

@@ -211,6 +211,8 @@ def compute_blob_kzg_proof_batch(
 ) -> List[bytes]:
     """Batched blob proofs: challenges on host, everything else one device
     program (parity: compute_blob_kzg_proof_rust, eip_4844.rs:541-563)."""
+    if any(len(c) != 48 for c in commitments):
+        raise ValueError("Invalid commitment length")
     native.g1_decompress_batch(b"".join(commitments))  # validate (raises)
     poly_m = _blobs_to_poly_mont(blobs)
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments)]
@@ -249,6 +251,8 @@ def verify_kzg_proof(
 ) -> bool:
     """Single-point verify: one pairing, host-bound (parity:
     verify_kzg_proof_rust, eip_4844.rs:586-611)."""
+    if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
+        raise ValueError("Invalid commitment/proof length")
     commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     bs.fr_from_bytes(z_bytes)  # canonicality checks (raise like the reference)
     bs.fr_from_bytes(y_bytes)
@@ -264,6 +268,8 @@ def verify_blob_kzg_proof(
     s: DeviceKZGSettings,
 ) -> bool:
     """(parity: verify_blob_kzg_proof_rust, eip_4844.rs:638-665)"""
+    if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
+        raise ValueError("Invalid commitment/proof length")
     commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     z = compute_challenge(blob_bytes, commitment_bytes)
     poly_m = _blobs_to_poly_mont([blob_bytes])
@@ -294,6 +300,10 @@ def verify_blob_kzg_proof_batch(
     n = len(blobs)
     if n == 0:
         return True
+    if any(len(c) != 48 for c in commitments_bytes) or any(
+        len(p) != 48 for p in proofs_bytes
+    ):
+        raise ValueError("Invalid commitment/proof length")
     commitments = native.g1_decompress_batch(b"".join(commitments_bytes))
     proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
     if n == 1:

@@ -333,6 +333,22 @@ def recover_cells_and_kzg_proofs(
     return out_cells, out_proofs
 
 
+def recover_cells_and_kzg_proofs_batch(
+    cell_indices_list: Sequence[Sequence[int]],
+    cells_list: Sequence[Sequence[bytes]],
+    s: DeviceKZGSettings,
+):
+    """(parity: DAS::recover_cells_and_kzg_proofs_batch, das.rs:210-242)"""
+    if len(cell_indices_list) != len(cells_list):
+        raise ValueError("Cell indices & cells mismatch")
+    out_cells, out_proofs = [], []
+    for idxs, cells in zip(cell_indices_list, cells_list):
+        c, p = recover_cells_and_kzg_proofs(idxs, cells, s)
+        out_cells.append(c)
+        out_proofs.append(p)
+    return out_cells, out_proofs
+
+
 @jax.jit
 def _interp_poly_kernel(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
     """Aggregated column interpolation: per-column iFFT(64) then coset
@@ -364,6 +380,10 @@ def verify_cell_kzg_proof_batch(
     if any(idx >= K2 for idx in cell_indices):
         raise ValueError("Invalid cell index")
 
+    if any(len(p) != 48 for p in proofs_bytes) or any(
+        len(cb) != 48 for cb in commitments_bytes
+    ):
+        raise ValueError("Invalid proof/commitment length")
     proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
     unique_cb, commitment_indices = _deduplicate_with_indices(list(commitments_bytes))
     unique_commitments = native.g1_decompress_batch(b"".join(unique_cb))

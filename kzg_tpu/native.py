@@ -81,7 +81,8 @@ def g1_decompress_batch(
     """48n bytes -> list of affine points (None = infinity).
     Raises ValueError naming the first invalid point."""
     n = len(compressed) // 48
-    assert len(compressed) == 48 * n
+    if len(compressed) != 48 * n:
+        raise ValueError("g1: expected 48-byte compressed points")
     if _lib is None:
         from .oracle import serialization as ser
 
@@ -105,7 +106,8 @@ def g2_decompress_batch(
     compressed: bytes, subgroup_check: bool = True
 ) -> List[Optional[tuple]]:
     n = len(compressed) // 96
-    assert len(compressed) == 96 * n
+    if len(compressed) != 96 * n:
+        raise ValueError("g2: expected 96-byte compressed points")
     if _lib is None:
         from .oracle import serialization as ser
 

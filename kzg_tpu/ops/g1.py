@@ -349,5 +349,11 @@ def affine_to_ints(a: G1Aff):
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
 
 
+_to_affine_jit = None
+
+
 def xyzz_to_ints(p: G1XYZZ):
-    return affine_to_ints(to_affine(p))
+    global _to_affine_jit
+    if _to_affine_jit is None:
+        _to_affine_jit = jax.jit(to_affine)
+    return affine_to_ints(_to_affine_jit(p))

@@ -231,9 +231,20 @@ def msm(
     (*batch,). All leading batch dims are independent MSMs fused into one
     sort + one scan.
     (parity: msm() /root/reference/kzg/src/msm/msm_impls.rs:113-148)"""
+    n = points.x.shape[-1]
+    if n < 8 and points.x.ndim == 2:
+        # tiny inputs: per-lane ladder + tree reduce beats the sort machinery
+        # (parity: the reference's naive loop below 8 points)
+        return _msm_ladder_jit(points, scalars)
     if c is None:
-        c = default_window(points.x.shape[-1], fixed_base=False)
+        c = default_window(n, fixed_base=False)
     return _msm_jit(points, scalars, c)
+
+
+@jax.jit
+def _msm_ladder_jit(points: G1Aff, scalars: jnp.ndarray) -> G1XYZZ:
+    out = g1.msm_ladder(points, scalars)
+    return G1XYZZ(*(cc[..., 0] for cc in out))
 
 
 @partial(jax.jit, static_argnames=("c",))
