@@ -49,11 +49,11 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.time()
     for _ in range(iters):
         out = dmsm.msm_fixed(table, sc)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # honest per-iteration latency
     dt = (time.time() - t0) / iters
     pts_per_s = n * batch / dt
     print(

@@ -3,8 +3,11 @@
 Run on a TPU: python benches/pallas_micro.py
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

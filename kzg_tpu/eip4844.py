@@ -102,6 +102,47 @@ def _quotient(poly_m, y_m, z_m, inv_diff, was_zero, roots_m):
 
 
 # ---------------------------------------------------------------------------
+# Fused per-op programs: ONE device program per protocol call (uploads one
+# limb array, returns affine/canonical limbs) -- transfers and program
+# switches dominate per-op latency on a remote-attached TPU.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _commit_program(scalars, tab_x, tab_y, tab_inf, c: int):
+    table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    out = dmsm.msm_fixed_core(table, scalars)
+    return dg1.to_affine(out)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _prove_program(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
+    """blob limbs (canonical) + z limbs -> (proof affine, y canonical)."""
+    poly_m = fl.from_canonical(FR, poly_limbs)
+    z_m = fl.from_canonical(FR, z_limbs)
+    y_m, inv_diff, was_zero = _eval_barycentric.__wrapped__(poly_m, z_m, roots_m)
+    q = _quotient.__wrapped__(poly_m, y_m, z_m, inv_diff, was_zero, roots_m)
+    table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    proofs = dmsm.msm_fixed_core(table, q)
+    return dg1.to_affine(proofs), fl.to_canonical(FR, y_m)
+
+
+@jax.jit
+def _eval_program(poly_limbs, z_limbs, roots_m):
+    """blob limbs + z limbs -> y canonical (16, B, 1)."""
+    poly_m = fl.from_canonical(FR, poly_limbs)
+    z_m = fl.from_canonical(FR, z_limbs)
+    y_m, _, _ = _eval_barycentric.__wrapped__(poly_m, z_m, roots_m)
+    return fl.to_canonical(FR, y_m)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _lincomb_program(px, py, pinf, scalars, c: int):
+    out = dmsm.msm_core(dg1.G1Aff(px, py, pinf), scalars, c)
+    return dg1.to_affine(out)
+
+
+# ---------------------------------------------------------------------------
 # Host <-> device glue
 # ---------------------------------------------------------------------------
 
@@ -109,7 +150,7 @@ def _quotient(poly_m, y_m, z_m, inv_diff, was_zero, roots_m):
 def _blobs_to_poly_mont(blobs: Sequence[bytes]) -> jnp.ndarray:
     """Validated blobs -> (16, B, 4096) Montgomery device array."""
     limbs = np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1)
-    return fl.from_canonical(FR, jnp.asarray(limbs))
+    return fl.from_canonical_jit(FR, jnp.asarray(limbs))
 
 
 def _commit_scalars(blobs: Sequence[bytes]) -> jnp.ndarray:
@@ -167,6 +208,14 @@ def compute_r_powers(commitments_b, zs, ys, proofs_b) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
+BATCH_CHUNK = 8  # blobs per device program (bounds scan working-set memory)
+
+
+def _chunks(seq, k=BATCH_CHUNK):
+    for i in range(0, len(seq), k):
+        yield seq[i : i + k]
+
+
 def blob_to_kzg_commitment(blob_bytes: bytes, s: DeviceKZGSettings) -> bytes:
     return blob_to_kzg_commitment_batch([blob_bytes], s)[0]
 
@@ -174,30 +223,28 @@ def blob_to_kzg_commitment(blob_bytes: bytes, s: DeviceKZGSettings) -> bytes:
 def blob_to_kzg_commitment_batch(
     blobs: Sequence[bytes], s: DeviceKZGSettings
 ) -> List[bytes]:
-    """Commit to many blobs with ONE fused fixed-base MSM family
+    """Commit to many blobs with ONE fused fixed-base MSM family per chunk
     (parity: blob_to_kzg_commitment_rust, eip_4844.rs:278-295)."""
-    scalars = _commit_scalars(blobs)  # (16, B, 4096) canonical
-    out = dmsm.msm_fixed(s.lagrange_table, scalars)
-    return _points_to_bytes(out)
+    t = s.lagrange_table
+    pts: List = []
+    for chunk in _chunks(list(blobs)):
+        scalars = _commit_scalars(chunk)  # (16, B, 4096) canonical
+        aff = _commit_program(scalars, t.x, t.y, t.inf, t.c)
+        pts.extend(dg1.affine_to_ints(aff))
+    return native.g1_compress_batch(pts)
 
 
 def compute_kzg_proof(
     blob_bytes: bytes, z_bytes: bytes, s: DeviceKZGSettings
 ) -> Tuple[bytes, bytes]:
     z = bs.fr_from_bytes(z_bytes)  # (16, 1)
-    poly_m = _blobs_to_poly_mont([blob_bytes])
-    z_m = fl.from_canonical(FR, jnp.asarray(z)[:, None, :])
-    proofs, ys = _compute_proofs_at(poly_m, z_m, s)
-    return proofs[0], bs.frs_to_bytes(np.asarray(ys)[:, 0, :])
-
-
-def _compute_proofs_at(poly_m, z_m, s: DeviceKZGSettings):
-    """Shared prove core: returns (proof bytes per blob, y canonical (16,B,1))."""
-    roots = s.roots_brp_mont
-    y_m, inv_diff, was_zero = _eval_barycentric(poly_m, z_m, roots)
-    q = _quotient(poly_m, y_m, z_m, inv_diff, was_zero, roots)  # canonical
-    proofs = dmsm.msm_fixed(s.lagrange_table, q)
-    return _points_to_bytes(proofs), fl.to_canonical(FR, y_m)
+    poly = jnp.asarray(np.stack([bs.blob_to_scalars(blob_bytes)], axis=1))
+    t = s.lagrange_table
+    aff, y = _prove_program(
+        poly, jnp.asarray(z)[:, None, :], s.roots_brp_mont, t.x, t.y, t.inf, t.c
+    )
+    proof = native.g1_compress_batch(dg1.affine_to_ints(aff))[0]
+    return proof, bs.frs_to_bytes(np.asarray(y)[:, 0, :])
 
 
 def compute_blob_kzg_proof(
@@ -209,18 +256,23 @@ def compute_blob_kzg_proof(
 def compute_blob_kzg_proof_batch(
     blobs: Sequence[bytes], commitments: Sequence[bytes], s: DeviceKZGSettings
 ) -> List[bytes]:
-    """Batched blob proofs: challenges on host, everything else one device
-    program (parity: compute_blob_kzg_proof_rust, eip_4844.rs:541-563)."""
+    """Batched blob proofs: challenges on host, one device program per chunk
+    (parity: compute_blob_kzg_proof_rust, eip_4844.rs:541-563)."""
     if any(len(c) != 48 for c in commitments):
         raise ValueError("Invalid commitment length")
     native.g1_decompress_batch(b"".join(commitments))  # validate (raises)
-    poly_m = _blobs_to_poly_mont(blobs)
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments)]
-    z_m = fl.from_canonical(
-        FR, jnp.asarray(fl.ints_to_limbs(zs, FR.n_limbs))[:, :, None]
-    )
-    proofs, _ = _compute_proofs_at(poly_m, z_m, s)
-    return proofs
+    t = s.lagrange_table
+    pts: List = []
+    for lo in range(0, len(blobs), BATCH_CHUNK):
+        chunk = list(blobs)[lo : lo + BATCH_CHUNK]
+        poly = jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in chunk], axis=1))
+        zl = jnp.asarray(
+            fl.ints_to_limbs(zs[lo : lo + BATCH_CHUNK], FR.n_limbs)
+        )[:, :, None]
+        aff, _ = _prove_program(poly, zl, s.roots_brp_mont, t.x, t.y, t.inf, t.c)
+        pts.extend(dg1.affine_to_ints(aff))
+    return native.g1_compress_batch(pts)
 
 
 def _g2_neg(pt):
@@ -272,10 +324,10 @@ def verify_blob_kzg_proof(
         raise ValueError("Invalid commitment/proof length")
     commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     z = compute_challenge(blob_bytes, commitment_bytes)
-    poly_m = _blobs_to_poly_mont([blob_bytes])
-    z_m = fl.from_canonical(FR, jnp.asarray(fl.ints_to_limbs([z], FR.n_limbs))[:, :, None])
-    y_m, _, _ = _eval_barycentric(poly_m, z_m, s.roots_brp_mont)
-    y = _y_to_ints(fl.to_canonical(FR, y_m))[0]
+    poly = jnp.asarray(np.stack([bs.blob_to_scalars(blob_bytes)], axis=1))
+    zl = jnp.asarray(fl.ints_to_limbs([z], FR.n_limbs))[:, :, None]
+    y_can = _eval_program(poly, zl, s.roots_brp_mont)
+    y = _y_to_ints(y_can)[0]
     return _check_proof_single(s, commitment, proof, z, y)
 
 
@@ -309,11 +361,11 @@ def verify_blob_kzg_proof_batch(
     if n == 1:
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
 
-    poly_m = _blobs_to_poly_mont(blobs)
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
-    z_m = fl.from_canonical(FR, jnp.asarray(fl.ints_to_limbs(zs, FR.n_limbs))[:, :, None])
-    y_m, _, _ = _eval_barycentric(poly_m, z_m, s.roots_brp_mont)
-    ys = _y_to_ints(fl.to_canonical(FR, y_m))
+    # evals are field-only (no MSM working set): one program for all blobs
+    poly = jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1))
+    zl = jnp.asarray(fl.ints_to_limbs(zs, FR.n_limbs))[:, :, None]
+    ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
 
@@ -334,8 +386,9 @@ def verify_blob_kzg_proof_batch(
         ],
         axis=1,
     )
-    out = dmsm.msm(pts, jnp.asarray(sc))
-    proof_lincomb, proof_z_lincomb, c_lincomb = dg1.xyzz_to_ints(out)
+    c_win = dmsm.default_window(n, fixed_base=False)
+    aff = _lincomb_program(pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win)
+    proof_lincomb, proof_z_lincomb, c_lincomb = dg1.affine_to_ints(aff)
 
     ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
     rhs = native.g1_add(

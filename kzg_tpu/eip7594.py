@@ -217,7 +217,7 @@ def compute_cells_and_kzg_proofs_batch(
 ):
     """(parity: DAS::compute_cells_and_kzg_proofs, das.rs:244-292)"""
     limbs = np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1)
-    blob_m = fl.from_canonical(FR, jnp.asarray(limbs))
+    blob_m = fl.from_canonical_jit(FR, jnp.asarray(limbs))
     cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
     cells_np = np.asarray(cells_can)
     all_cells = []
@@ -272,7 +272,7 @@ def recover_cells_and_kzg_proofs(
         cell_limbs[:, idx * CELL : (idx + 1) * CELL] = limbs
 
     if len(provided) == K2:
-        recovered_m = fl.from_canonical(FR, jnp.asarray(cell_limbs)[:, None, :])
+        recovered_m = fl.from_canonical_jit(FR, jnp.asarray(cell_limbs)[:, None, :])
         # natural order for proof computation below
         brp = jnp.take(recovered_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
         natural_m = brp
@@ -302,8 +302,8 @@ def recover_cells_and_kzg_proofs(
         elem_missing_nat = elem_missing_wire[brp_indices(N_EXT)]
 
         cells_nat = cell_limbs[:, brp_indices(N_EXT)]
-        cells_m = fl.from_canonical(FR, jnp.asarray(cells_nat)[:, None, :])
-        vanish_m = fl.from_canonical(FR, jnp.asarray(vanish)[:, None, :])
+        cells_m = fl.from_canonical_jit(FR, jnp.asarray(cells_nat)[:, None, :])
+        vanish_m = fl.from_canonical_jit(FR, jnp.asarray(vanish)[:, None, :])
         shift = jnp.asarray(_shift_powers(RECOVERY_SHIFT_FACTOR, N_EXT))
         unshift = jnp.asarray(
             _shift_powers(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT)
@@ -319,7 +319,7 @@ def recover_cells_and_kzg_proofs(
 
     # cells out: wire order = brp of natural
     wire = jnp.take(natural_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    cells_can = np.asarray(fl.to_canonical(FR, wire))
+    cells_can = np.asarray(fl.to_canonical_jit(FR, wire))
     raw = bs.frs_to_bytes(cells_can[:, 0, :])
     out_cells = [
         raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)
@@ -447,9 +447,9 @@ def verify_cell_kzg_proof_batch(
         inv_shifts[:, col, :] = _mont_const_vector(
             tuple(pow(inv_factor, k, R) for k in range(CELL))
         )
-    agg_m = fl.from_canonical(FR, jnp.asarray(agg))
+    agg_m = fl.from_canonical_jit(FR, jnp.asarray(agg))
     agg_poly = _interp_poly_kernel(agg_m, jnp.asarray(inv_shifts))  # (16, 64) mont
-    agg_scalars = fl.to_canonical(FR, agg_poly)
+    agg_scalars = fl.to_canonical_jit(FR, agg_poly)
     mono = s.monomial_table
     sub_table = dmsm.FixedBaseTable(
         mono.x[..., :CELL], mono.y[..., :CELL], mono.inf[..., :CELL], mono.c

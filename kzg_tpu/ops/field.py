@@ -20,7 +20,7 @@ Pallas-compatible.
 """
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 from typing import List
 
 import jax
@@ -528,6 +528,20 @@ def to_canonical(spec: FieldSpec, a) -> jnp.ndarray:
 def from_canonical(spec: FieldSpec, a) -> jnp.ndarray:
     """Canonical limbs -> Montgomery form (multiply by R^2)."""
     return mul_const(spec, a, spec.r2_limbs)
+
+
+@partial(jax.jit, static_argnames=("name", "to"))
+def _conv_jit(a, name: str, to: bool):
+    spec = FR if name == "Fr" else FP
+    return to_canonical(spec, a) if to else from_canonical(spec, a)
+
+
+def from_canonical_jit(spec: FieldSpec, a) -> jnp.ndarray:
+    return _conv_jit(jnp.asarray(a), spec.name, False)
+
+
+def to_canonical_jit(spec: FieldSpec, a) -> jnp.ndarray:
+    return _conv_jit(jnp.asarray(a), spec.name, True)
 
 
 def batch_inv_tree(spec: FieldSpec, a, zero_to_one: bool = False):
