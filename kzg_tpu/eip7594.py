@@ -40,7 +40,7 @@ from .ops import g1 as dg1
 from .ops import msm as dmsm
 from .ops.fft import brp_indices, fft as dfft, ifft as difft
 from .ops.field import FR
-from .ops.g1fft import fft_g1 as dfft_g1
+from .ops.g1fft import fft_g1 as dfft_g1, fk20_half_convolution
 from .settings import DeviceKZGSettings
 
 N = FIELD_ELEMENTS_PER_BLOB
@@ -147,14 +147,8 @@ def _fk20_core(
     scalars = fl.to_canonical(FR, coeffs)
 
     h_ext = dmsm.msm_fixed_core(table, scalars)  # (…, B, 128)
-    h = dfft_g1(h_ext, inverse=True)
-    # zero the top half
-    lane = jnp.arange(K2)
-    keep = lane < (K2 // 2)
-    h = dg1.select_point(
-        jnp.broadcast_to(keep, h.x.shape[1:]), h, dg1.infinity(h.x.shape[1:])
-    )
-    proofs = dfft_g1(h)
+    # fft_g1(zero_top(ifft_g1(h_ext))) fused into one circulant convolution
+    proofs = fk20_half_convolution(h_ext)
     return dg1.G1XYZZ(
         *(jnp.take(cc, jnp.asarray(brp_indices(K2)), axis=-1) for cc in proofs)
     )

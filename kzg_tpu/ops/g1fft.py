@@ -178,3 +178,61 @@ def _ifft_scale(p: G1XYZZ, ninv: int) -> G1XYZZ:
     digits = np.broadcast_to(d[:, None], (d.shape[0], n)).copy()
     signs = digits < 0
     return _mul_fixed_scalars(p, np.abs(digits), signs)
+
+
+# ---------------------------------------------------------------------------
+# FK20 half-zeroing convolution: FFT . zero_top_half . IFFT as one circulant
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _half_conv_taps(n: int):
+    """Taps of the circulant M = F . diag([1]*n/2 + [0]*n/2) . F^{-1}:
+    m[0] = 1/2, m[d] = 0 for even d != 0, m[d] = -(2/n)/(w^d - 1) for odd d.
+    Returns (offsets (n/2+1,), digit table (w, n/2+1), sign table)."""
+    w_root = root_of_unity(n.bit_length() - 1)
+    half_n_inv = pow(2, R - 2, R)
+    two_over_n = 2 * pow(n, R - 2, R) % R
+    offsets = [0] + [d for d in range(1, n) if d % 2 == 1]
+    taps = [half_n_inv]
+    for d in offsets[1:]:
+        taps.append((-two_over_n) * pow(pow(w_root, d, R) - 1, R - 2, R) % R)
+    digs, sgns = [], []
+    for t in taps:
+        dd = _signed_digits_host(t, TWIDDLE_WINDOW)
+        digs.append([abs(x) for x in dd])
+        sgns.append([x < 0 for x in dd])
+    return (
+        np.array(offsets, dtype=np.int64),
+        np.array(digs, dtype=np.int32).T.copy(),
+        np.array(sgns, dtype=bool).T.copy(),
+    )
+
+
+def fk20_half_convolution(h_ext: G1XYZZ) -> G1XYZZ:
+    """Compute fft_g1(zero_top_half(ifft_g1(h_ext))) as ONE circulant
+    convolution with n/2+1 fixed taps: out[k] = sum_d m[d] * h_ext[k-d].
+
+    Replaces the two sequential G1 FFT butterfly networks of the reference's
+    FK20 (toeplitz_part_3 + fft_g1, /root/reference/blst/src/fk20_proofs.rs
+    :53-62) with a single depth-~340 ladder over n*(n/2+1) parallel lanes --
+    ~13x less sequential depth on a vector machine.
+    """
+    n = h_ext.x.shape[-1]
+    offsets, digs, sgns = _half_conv_taps(n)
+    k = jnp.arange(n)[:, None]  # (n, 1)
+    src = (k - jnp.asarray(offsets)[None, :]) % n  # (n, taps)
+    gathered = G1XYZZ(
+        *(jnp.take(c, src.reshape(-1), axis=-1) for c in h_ext)
+    )  # (..., n*taps)
+    taps = offsets.shape[0]
+    batch = h_ext.x.shape[1:-1]
+    # per-lane digit tables tiled over k
+    dig_full = np.tile(digs[:, None, :], (1, n, 1)).reshape(digs.shape[0], n * taps)
+    sgn_full = np.tile(sgns[:, None, :], (1, n, 1)).reshape(sgns.shape[0], n * taps)
+    prods = _mul_fixed_scalars(gathered, dig_full, sgn_full)
+    prods = G1XYZZ(
+        *(c.reshape(c.shape[:-1] + (n, taps)) for c in prods)
+    )
+    out = g1.tree_reduce(prods)
+    return G1XYZZ(*(c[..., 0] for c in out))
