@@ -32,6 +32,60 @@ from .g1 import G1XYZZ
 
 TWIDDLE_WINDOW = 5  # digits in [-16, 16]
 
+# ---------------------------------------------------------------------------
+# GLV endomorphism: phi(x, y) = (beta*x, y) satisfies phi(P) = lambda*P with
+# lambda = x_bls^2 - 1 (a primitive 6th-root relation of the BLS parameter:
+# r = x^4 - x^2 + 1 => lambda^2 + lambda + 1 = 0 mod r). Fixed scalars
+# decompose as t = t1 + t2*lambda via plain divmod (t1 < lambda ~ 2^127,
+# t2 <= r/lambda ~ 2^129), halving the ladder depth.
+# (role parity: the arkmsm GLV port, /root/reference/kzg/src/msm/arkmsm/glv.rs)
+# ---------------------------------------------------------------------------
+
+from ..constants import BLS_X, P_MOD
+
+GLV_LAMBDA = (BLS_X * BLS_X - 1) % R
+assert (GLV_LAMBDA * GLV_LAMBDA + GLV_LAMBDA + 1) % R == 0
+
+
+@lru_cache(maxsize=None)
+def _glv_beta_mont():
+    """The cube root of unity in Fp matching lambda, as Montgomery limbs."""
+    from ..oracle.curve import G1, G1_GENERATOR
+    from .field import FP
+
+    g = 2
+    while pow(g, (P_MOD - 1) // 3, P_MOD) == 1:
+        g += 1
+    root = pow(g, (P_MOD - 1) // 3, P_MOD)
+    gx, gy = G1_GENERATOR
+    lam_g = G1.mul_scalar(G1_GENERATOR, GLV_LAMBDA)
+    for beta in (root, root * root % P_MOD):
+        if lam_g == (beta * gx % P_MOD, gy):
+            return FP.const(beta)
+    raise AssertionError("no matching GLV beta")
+
+
+def _glv_digits_host(value: int, c: int = TWIDDLE_WINDOW):
+    """Fixed scalar -> (digits1, digits2) for t = t1 + t2*lambda."""
+    t2, t1 = divmod(value % R, GLV_LAMBDA)
+    w = -(-130 // c)  # both halves < 2^129
+
+    def dig(v):
+        half, full = 1 << (c - 1), 1 << c
+        out, carry = [], 0
+        for j in range(w):
+            d = ((v >> (c * j)) & (full - 1)) + carry
+            if d > half:
+                d -= full
+                carry = 1
+            else:
+                carry = 0
+            out.append(d)
+        assert carry == 0 and sum(x << (c * j) for j, x in enumerate(out)) == v
+        return out
+
+    return dig(t1), dig(t2)
+
 
 def _signed_digits_host(value: int, c: int):
     """Booth-style signed c-bit windows of a 255-bit scalar, host-side.
@@ -133,6 +187,67 @@ def _mul_fixed_scalars(p: G1XYZZ, digits: np.ndarray, signs: np.ndarray) -> G1XY
     return jax.lax.fori_loop(0, w, window_step, g1.infinity(batch))
 
 
+def _mul_fixed_scalars_glv(p: G1XYZZ, digs1, sgns1, digs2, sgns2) -> G1XYZZ:
+    """GLV-split fixed-scalar multiply: each lane times t1 + t2*lambda with
+    one shared multiples table (phi maps multiples for free: x *= beta)."""
+    c = TWIDDLE_WINDOW
+    half = 1 << (c - 1)
+    w = digs1.shape[0]
+    batch = p.x.shape[1:]
+
+    zero = g1.infinity((half + 1,) + batch)
+
+    def mult_body(i, acc):
+        prev = G1XYZZ(*(jax.lax.dynamic_index_in_dim(a, i - 1, 1, False) for a in acc))
+        nxt = g1.add_unified(prev, p)
+        return G1XYZZ(
+            *(jax.lax.dynamic_update_index_in_dim(a, v, i, 1) for a, v in zip(acc, nxt))
+        )
+
+    mult = jax.lax.fori_loop(1, half + 1, mult_body, zero)
+    beta = jnp.asarray(_glv_beta_mont()).reshape((fl.FP.n_limbs,) + (1,) * (mult.x.ndim - 1))
+    mult_phi = G1XYZZ(
+        fl.mont_mul(fl.FP, mult.x, jnp.broadcast_to(beta, mult.x.shape)),
+        mult.y,
+        mult.zz,
+        mult.zzz,
+    )
+
+    d1, s1 = jnp.asarray(digs1), jnp.asarray(sgns1)
+    d2, s2 = jnp.asarray(digs2), jnp.asarray(sgns2)
+
+    def gather(m, idx):
+        idxb = jnp.broadcast_to(idx, m.shape[:1] + (1,) + m.shape[2:])
+        return jnp.take_along_axis(m, idxb, axis=1)[:, 0]
+
+    def select_from(table, idx, sg):
+        sel = G1XYZZ(*(gather(m, idx) for m in table))
+        return G1XYZZ(sel.x, fl.select(sg, fl.neg(FP, sel.y), sel.y), sel.zz, sel.zzz)
+
+    def window_step(i, acc):
+        j = w - 1 - i
+        acc = jax.lax.fori_loop(0, c, lambda _, q: g1.dbl(q), acc)
+        acc = g1.add_unified(
+            acc,
+            select_from(
+                mult,
+                jax.lax.dynamic_index_in_dim(d1, j, 0, False),
+                jax.lax.dynamic_index_in_dim(s1, j, 0, False),
+            ),
+        )
+        acc = g1.add_unified(
+            acc,
+            select_from(
+                mult_phi,
+                jax.lax.dynamic_index_in_dim(d2, j, 0, False),
+                jax.lax.dynamic_index_in_dim(s2, j, 0, False),
+            ),
+        )
+        return acc
+
+    return jax.lax.fori_loop(0, w, window_step, g1.infinity(batch))
+
+
 def fft_g1(p: G1XYZZ, inverse: bool = False) -> G1XYZZ:
     """Radix-2 FFT over G1 along the last axis; n a power of two.
     Semantics parity: fft_g1 /root/reference/blst/src/fft_g1.rs:54-83."""
@@ -197,15 +312,19 @@ def _half_conv_taps(n: int):
     taps = [half_n_inv]
     for d in offsets[1:]:
         taps.append((-two_over_n) * pow(pow(w_root, d, R) - 1, R - 2, R) % R)
-    digs, sgns = [], []
+    d1s, s1s, d2s, s2s = [], [], [], []
     for t in taps:
-        dd = _signed_digits_host(t, TWIDDLE_WINDOW)
-        digs.append([abs(x) for x in dd])
-        sgns.append([x < 0 for x in dd])
+        dd1, dd2 = _glv_digits_host(t)
+        d1s.append([abs(x) for x in dd1])
+        s1s.append([x < 0 for x in dd1])
+        d2s.append([abs(x) for x in dd2])
+        s2s.append([x < 0 for x in dd2])
     return (
         np.array(offsets, dtype=np.int64),
-        np.array(digs, dtype=np.int32).T.copy(),
-        np.array(sgns, dtype=bool).T.copy(),
+        np.array(d1s, dtype=np.int32).T.copy(),
+        np.array(s1s, dtype=bool).T.copy(),
+        np.array(d2s, dtype=np.int32).T.copy(),
+        np.array(s2s, dtype=bool).T.copy(),
     )
 
 
@@ -219,20 +338,18 @@ def fk20_half_convolution(h_ext: G1XYZZ) -> G1XYZZ:
     ~13x less sequential depth on a vector machine.
     """
     n = h_ext.x.shape[-1]
-    offsets, digs, sgns = _half_conv_taps(n)
+    offsets, d1, s1, d2, s2 = _half_conv_taps(n)
     k = jnp.arange(n)[:, None]  # (n, 1)
     src = (k - jnp.asarray(offsets)[None, :]) % n  # (n, taps)
     gathered = G1XYZZ(
         *(jnp.take(c, src.reshape(-1), axis=-1) for c in h_ext)
     )  # (..., n*taps)
     taps = offsets.shape[0]
-    batch = h_ext.x.shape[1:-1]
-    # per-lane digit tables tiled over k
-    dig_full = np.tile(digs[:, None, :], (1, n, 1)).reshape(digs.shape[0], n * taps)
-    sgn_full = np.tile(sgns[:, None, :], (1, n, 1)).reshape(sgns.shape[0], n * taps)
-    prods = _mul_fixed_scalars(gathered, dig_full, sgn_full)
-    prods = G1XYZZ(
-        *(c.reshape(c.shape[:-1] + (n, taps)) for c in prods)
-    )
+
+    def tile(t):
+        return np.tile(t[:, None, :], (1, n, 1)).reshape(t.shape[0], n * taps)
+
+    prods = _mul_fixed_scalars_glv(gathered, tile(d1), tile(s1), tile(d2), tile(s2))
+    prods = G1XYZZ(*(c.reshape(c.shape[:-1] + (n, taps)) for c in prods))
     out = g1.tree_reduce(prods)
     return G1XYZZ(*(c[..., 0] for c in out))
