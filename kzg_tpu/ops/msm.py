@@ -121,9 +121,11 @@ def _seg_scan_hs(points: G1XYZZ, flags: jnp.ndarray) -> G1XYZZ:
     return out
 
 
-def _seg_scan_chunked(points: G1XYZZ, first: jnp.ndarray, chunk: int) -> G1XYZZ:
-    """Inclusive segmented scan over E sorted elements in three phases:
-    (1) sequential within-chunk scan -- one traced add, work E, depth K;
+def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
+    """Inclusive segmented scan over E sorted AFFINE elements in three
+    phases: (1) sequential within-chunk scan with MIXED adds (the running
+    sum is XYZZ but every incoming element is affine: madd costs 10M vs the
+    14M of a full add) -- one traced add, work E, depth K;
     (2) segmented Hillis-Steele over the E/K chunk aggregates;
     (3) one carry-in add for each chunk's head piece.
     Work ~2E + (E/K)log(E/K) point adds with a constant-size traced graph --
@@ -132,18 +134,36 @@ def _seg_scan_chunked(points: G1XYZZ, first: jnp.ndarray, chunk: int) -> G1XYZZ:
     K = min(chunk, E)
     pad = (-E) % K
     if pad:
-        points = G1XYZZ(*(jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)]) for c in points))
+        aff = G1Aff(
+            jnp.pad(aff.x, [(0, 0)] * (aff.x.ndim - 1) + [(0, pad)]),
+            jnp.pad(aff.y, [(0, 0)] * (aff.y.ndim - 1) + [(0, pad)]),
+            jnp.pad(aff.inf, (0, pad), constant_values=True),
+        )
         first = jnp.pad(first, (0, pad), constant_values=True)
     m = (E + pad) // K
-    pts = G1XYZZ(*(c.reshape(c.shape[:-1] + (m, K)) for c in points))
+    ax = aff.x.reshape(aff.x.shape[:-1] + (m, K))
+    ay = aff.y.reshape(aff.y.shape[:-1] + (m, K))
+    ainf = aff.inf.reshape(m, K)
     fl2 = first.reshape(m, K)
 
     # phase 1: sequential inclusive scan within each chunk (lanes = chunks)
+    col0 = g1.from_affine(G1Aff(ax[..., 0], ay[..., 0], ainf[..., 0]))
+    pts = G1XYZZ(
+        *(
+            jnp.zeros_like(c).at[..., 0].set(c0)
+            for c, c0 in zip((ax, ay, ax, ay), col0)
+        )
+    )
+
     def p1(t, p):
         prev = G1XYZZ(*(jax.lax.dynamic_index_in_dim(c, t - 1, c.ndim - 1, False) for c in p))
-        cur = G1XYZZ(*(jax.lax.dynamic_index_in_dim(c, t, c.ndim - 1, False) for c in p))
-        comb = g1.add_unified(prev, cur)
-        newc = g1.select_point(fl2[:, t], cur, comb)
+        cur_aff = G1Aff(
+            jax.lax.dynamic_index_in_dim(ax, t, ax.ndim - 1, False),
+            jax.lax.dynamic_index_in_dim(ay, t, ay.ndim - 1, False),
+            jax.lax.dynamic_index_in_dim(ainf, t, 1, False),
+        )
+        comb = g1.madd_unified(prev, cur_aff)
+        newc = g1.select_point(fl2[:, t], g1.from_affine(cur_aff), comb)
         return G1XYZZ(
             *(
                 jax.lax.dynamic_update_index_in_dim(c, nc, t, c.ndim - 1)
@@ -177,11 +197,11 @@ def _seg_scan_chunked(points: G1XYZZ, first: jnp.ndarray, chunk: int) -> G1XYZZ:
 
 
 def segment_sum_points(
-    points: G1XYZZ, keys: jnp.ndarray, n_keys: int, chunk: int = 64
+    points: G1Aff, keys: jnp.ndarray, n_keys: int, chunk: int = 64
 ) -> G1XYZZ:
-    """Sum points sharing the same key. `keys` must be SORTED ascending,
-    shape (E,); points have batch shape (E,). Returns (…, n_keys) sums
-    (identity for empty keys)."""
+    """Sum AFFINE points sharing the same key. `keys` must be SORTED
+    ascending, shape (E,); points have batch shape (E,). Returns
+    (…, n_keys) XYZZ sums (identity for empty keys)."""
     first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     scanned = _seg_scan_chunked(points, first, chunk)
     last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
@@ -289,9 +309,8 @@ def msm_core(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
     py = ey.reshape(FP.n_limbs, E)[:, order]
     pinf = einf.reshape(E)[order]
 
-    pts = g1.from_affine(G1Aff(px, py, pinf))
     n_keys = nb * w * (half + 1)
-    sums = segment_sum_points(pts, sorted_keys, n_keys)
+    sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, n_keys)
     buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums))
 
     win = integrate_buckets(buckets)  # (L, nb, w, 1)
@@ -421,8 +440,7 @@ def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
     py = ey.reshape(FP.n_limbs, E)[:, order]
     pinf = einf.reshape(E)[order]
 
-    pts = g1.from_affine(G1Aff(px, py, pinf))
-    sums = segment_sum_points(pts, sorted_keys, nb * (half + 1))
+    sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, nb * (half + 1))
     buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
 
     acc = integrate_buckets(buckets)  # (L, nb, 1)

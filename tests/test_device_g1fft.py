@@ -31,8 +31,8 @@ def test_fft_g1_roundtrip():
     n = 8
     pts = [G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
     p = dg1.from_affine(dg1.affine_from_ints(pts))
-    back = device_fft_g1(device_fft_g1(p), inverse=True)
-    assert dg1.xyzz_to_ints(back) == pts
+    roundtrip = jax.jit(lambda q: device_fft_g1(device_fft_g1(q), inverse=True))
+    assert dg1.xyzz_to_ints(roundtrip(p)) == pts
 
 
 def test_signed_digit_host_encoding_exact():
