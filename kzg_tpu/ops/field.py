@@ -347,12 +347,33 @@ def neg(spec: FieldSpec, a) -> jnp.ndarray:
 
 
 def mont_mul_unrolled(spec: FieldSpec, a, b) -> jnp.ndarray:
-    """Fully-unrolled Montgomery product (use inside Pallas kernels where the
-    whole body compiles as one fused unit; too many HLO ops for XLA:CPU)."""
+    """Fully-unrolled Montgomery product with SCALAR python-int constants
+    only (Pallas kernels reject captured array constants; too many HLO ops
+    for XLA:CPU -- the loop-mode mont_mul is the default there)."""
+    L = spec.n_limbs
+    n0 = int(spec.n0_inv)
+    m = spec.mod_limb_ints
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    mvec = jnp.asarray(spec.mod_limbs).reshape((spec.n_limbs,) + (1,) * len(batch))
-    cols = ColsArray(batch, 2 * spec.n_limbs + 1)
-    return _stack(mont_mul_body(spec, a, b, mvec, cols))
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    zero = jnp.zeros(batch, jnp.uint32)
+    cols = [zero] * (2 * L + 1)
+    for i in range(L):
+        ai = a[i]
+        for j in range(L):
+            p = ai * b[j]
+            cols[i + j] = cols[i + j] + (p & 0xFFFF)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
+    for k in range(L):
+        mk = (cols[k] * n0) & 0xFFFF
+        for j in range(L):
+            t = mk * m[j]
+            cols[k + j] = cols[k + j] + (t & 0xFFFF)
+            cols[k + j + 1] = cols[k + j + 1] + (t >> 16)
+        cols[k + 1] = cols[k + 1] + (cols[k] >> 16)
+    limbs, carry = carry_propagate(cols[L : 2 * L], L)
+    top = cols[2 * L] + carry
+    return _stack(cond_sub_mod(spec, limbs, top_carry=top))
 
 
 def mont_mul(spec: FieldSpec, a, b) -> jnp.ndarray:
@@ -428,6 +449,56 @@ def mont_mul(spec: FieldSpec, a, b) -> jnp.ndarray:
 
 def mont_sqr(spec: FieldSpec, a) -> jnp.ndarray:
     return mont_mul(spec, a, a)
+
+
+def add_unrolled(spec: FieldSpec, a, b) -> jnp.ndarray:
+    """Fully-unrolled modular add (Pallas-kernel-friendly dataflow)."""
+    L = spec.n_limbs
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    return _stack(add_body(spec, [a[k] for k in range(L)], [b[k] for k in range(L)]))
+
+
+def sub_unrolled(spec: FieldSpec, a, b) -> jnp.ndarray:
+    """Fully-unrolled modular sub (Pallas-kernel-friendly dataflow)."""
+    L = spec.n_limbs
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    return _stack(sub_body(spec, [a[k] for k in range(L)], [b[k] for k in range(L)]))
+
+
+def neg_unrolled(spec: FieldSpec, a) -> jnp.ndarray:
+    z = is_zero(spec, a)
+    L = spec.n_limbs
+    batch = a.shape[1:]
+    m = jnp.asarray(spec.mod_limbs).reshape((L,) + (1,) * len(batch))
+    mvec = jnp.broadcast_to(m, (L,) + batch)
+    d = _stack(sub_body(spec, [mvec[k] for k in range(L)], [a[k] for k in range(L)]))
+    return jnp.where(z[None], jnp.zeros_like(a), d)
+
+
+class _UnrolledFieldOps:
+    """Context manager: swap the module-level field ops for the unrolled
+    dataflow forms while tracing a Pallas kernel body (the loop-mode forms
+    use dynamic_update_slice loops that Mosaic handles poorly)."""
+
+    def __enter__(self):
+        global mont_mul, add, sub, neg
+        self._saved = (mont_mul, add, sub, neg)
+        mont_mul = mont_mul_unrolled
+        add = add_unrolled
+        sub = sub_unrolled
+        neg = neg_unrolled
+
+    def __exit__(self, *exc):
+        global mont_mul, add, sub, neg
+        mont_mul, add, sub, neg = self._saved
+        return False
+
+
+unrolled_ops = _UnrolledFieldOps
 
 
 def mul_many(spec: FieldSpec, pairs):

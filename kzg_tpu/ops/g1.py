@@ -75,9 +75,10 @@ def neg(p: G1XYZZ) -> G1XYZZ:
 
 
 def from_affine(a: G1Aff) -> G1XYZZ:
-    one = jnp.broadcast_to(
-        jnp.asarray(FP.one_mont).reshape((FP.n_limbs,) + (1,) * (a.x.ndim - 1)),
-        a.x.shape,
+    # built from scalar constants so the same body works inside Pallas
+    # kernels (captured array constants are rejected there)
+    one = jnp.stack(
+        [jnp.full(a.x.shape[1:], int(v), jnp.uint32) for v in FP.one_mont]
     )
     z = jnp.zeros_like(a.x)
     zz = jnp.where(a.inf[None], z, one)

@@ -147,6 +147,12 @@ def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
     fl2 = first.reshape(m, K)
 
     # phase 1: sequential inclusive scan within each chunk (lanes = chunks)
+    from . import pallas_msm
+
+    if pallas_msm.enabled() and ax.ndim == 3:
+        pts = pallas_msm.seg_scan_phase1(ax, ay, ainf, fl2)
+        return _seg_scan_tail(pts, fl2, m, K, E, pad)
+
     col0 = g1.from_affine(G1Aff(ax[..., 0], ay[..., 0], ainf[..., 0]))
     pts = G1XYZZ(
         *(
@@ -172,7 +178,10 @@ def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
         )
 
     pts = jax.lax.fori_loop(1, K, p1, pts)
+    return _seg_scan_tail(pts, fl2, m, K, E, pad)
 
+
+def _seg_scan_tail(pts: G1XYZZ, fl2, m: int, K: int, E: int, pad: int) -> G1XYZZ:
     # phase 2: scan the chunk aggregates (last column) with chunk-level flags
     agg = G1XYZZ(*(c[..., K - 1] for c in pts))  # (…, m)
     fchunk = fl2.any(axis=-1)  # (m,)
