@@ -58,37 +58,37 @@ static inline void sub_limbs(uint64_t *r, const uint64_t *a, const uint64_t *b, 
 }
 
 static inline void fp_add(Fp &r, const Fp &a, const Fp &b) {
-    uint64_t carry = 0;
-    uint64_t t[6];
+    // branchless: t = a + b; u = t - p; select on the combined borrow/carry
+    uint64_t t[6], u[6], carry = 0, borrow = 0;
     for (int i = 0; i < 6; i++) {
         u128 s = (u128)a.l[i] + b.l[i] + carry;
         t[i] = (uint64_t)s;
         carry = (uint64_t)(s >> 64);
     }
-    if (carry || geq(t, P_LIMBS, 6)) {
-        sub_limbs(r.l, t, P_LIMBS, 6);
-    } else {
-        memcpy(r.l, t, sizeof t);
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)t[i] - P_LIMBS[i] - borrow;
+        u[i] = (uint64_t)s;
+        borrow = (uint64_t)(s >> 64) & 1;
     }
+    // take u when t >= p (no borrow) or the add carried out
+    uint64_t take_u = carry | (borrow ^ 1);
+    uint64_t mask = (uint64_t)0 - take_u;
+    for (int i = 0; i < 6; i++) r.l[i] = (u[i] & mask) | (t[i] & ~mask);
 }
 
 static inline void fp_sub(Fp &r, const Fp &a, const Fp &b) {
-    uint64_t borrow = 0;
-    uint64_t t[6];
+    // branchless: t = a - b; add p back when it borrowed
+    uint64_t t[6], borrow = 0;
     for (int i = 0; i < 6; i++) {
         u128 s = (u128)a.l[i] - b.l[i] - borrow;
         t[i] = (uint64_t)s;
-        borrow = (uint64_t)(s >> 64) ? 1 : 0;
+        borrow = (uint64_t)(s >> 64) & 1;
     }
-    if (borrow) {
-        uint64_t carry = 0;
-        for (int i = 0; i < 6; i++) {
-            u128 s = (u128)t[i] + P_LIMBS[i] + carry;
-            r.l[i] = (uint64_t)s;
-            carry = (uint64_t)(s >> 64);
-        }
-    } else {
-        memcpy(r.l, t, sizeof t);
+    uint64_t mask = (uint64_t)0 - borrow, carry = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)t[i] + (P_LIMBS[i] & mask) + carry;
+        r.l[i] = (uint64_t)s;
+        carry = (uint64_t)(s >> 64);
     }
 }
 
@@ -100,8 +100,9 @@ static inline void fp_neg(Fp &r, const Fp &a) {
     sub_limbs(r.l, P_LIMBS, a.l, 6);
 }
 
-// CIOS Montgomery multiplication
-static void fp_mul(Fp &r, const Fp &a, const Fp &b) {
+// CIOS Montgomery multiplication (portable fallback; the x86-64 build
+// dispatches to the mulx/adcx/adox version below)
+static void fp_mul_portable(Fp &r, const Fp &a, const Fp &b) {
     uint64_t t[8] = {0};
     for (int i = 0; i < 6; i++) {
         uint64_t carry = 0;
@@ -132,6 +133,319 @@ static void fp_mul(Fp &r, const Fp &a, const Fp &b) {
     } else {
         memcpy(r.l, t, 6 * sizeof(uint64_t));
     }
+}
+
+// mulx/adcx/adox CIOS Montgomery multiplication, fully unrolled with
+// rotating accumulator register names (generated mechanically; n0inv is
+// inlined as an immediate to stay within the x86-64 register budget).
+static inline void fp_mul_asm(Fp &r, const Fp &a, const Fp &b) {
+    register uint64_t t0 asm("r14");
+    register uint64_t t1 asm("r8");
+    register uint64_t t2 asm("r9");
+    register uint64_t t3 asm("r10");
+    register uint64_t t4 asm("r11");
+    register uint64_t t5 asm("r12");
+    register uint64_t t6 asm("r13");
+    asm volatile(
+        "xor %%r8, %%r8\n\t"
+        "xor %%r9, %%r9\n\t"
+        "xor %%r10, %%r10\n\t"
+        "xor %%r11, %%r11\n\t"
+        "xor %%r12, %%r12\n\t"
+        "xor %%r13, %%r13\n\t"
+        "xor %%r14, %%r14\n\t"
+        "mov 0(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r8, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mov 8(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r9, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mov 16(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r10, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mov 24(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r11, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mov 32(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r12, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r12\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r13\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mov 40(%[a]), %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[b]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 8(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 16(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 24(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 32(%[b]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 40(%[b]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        "movabs $0x89f3fffcfffcfffd, %%rax\n\t"
+        "mov %%r13, %%rdx\n\t"
+        "imul %%rax, %%rdx\n\t"
+        "xor %%rax, %%rax\n\t"
+        "mulx 0(%[p]), %%rax, %%rbx\n\t"
+        "adox %%rax, %%r13\n\t"
+        "mulx 8(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r14\n\t"
+        "adox %%rax, %%r14\n\t"
+        "mulx 16(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r8\n\t"
+        "adox %%rax, %%r8\n\t"
+        "mulx 24(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r9\n\t"
+        "adox %%rax, %%r9\n\t"
+        "mulx 32(%[p]), %%rax, %%rbx\n\t"
+        "adcx %%rcx, %%r10\n\t"
+        "adox %%rax, %%r10\n\t"
+        "mulx 40(%[p]), %%rax, %%rcx\n\t"
+        "adcx %%rbx, %%r11\n\t"
+        "adox %%rax, %%r11\n\t"
+        "mov $0, %%rax\n\t"
+        "adcx %%rcx, %%r12\n\t"
+        "adox %%rax, %%r12\n\t"
+        : "=&r"(t0), "=&r"(t1), "=&r"(t2), "=&r"(t3), "=&r"(t4), "=&r"(t5), "=&r"(t6)
+        : [a] "r"(a.l), [b] "r"(b.l), [p] "r"(P_LIMBS)
+        : "rax", "rbx", "rcx", "rdx", "cc", "memory");
+    uint64_t t[6] = {t0, t1, t2, t3, t4, t5};
+    if (t6 || geq(t, P_LIMBS, 6)) sub_limbs(r.l, t, P_LIMBS, 6);
+    else memcpy(r.l, t, 48);
+}
+
+static_assert(FP_N0INV == 0x89f3fffcfffcfffdULL, "n0inv immediate in fp_mul_asm");
+
+static inline void fp_mul(Fp &r, const Fp &a, const Fp &b) {
+#if defined(__ADX__) && defined(__BMI2__)
+    fp_mul_asm(r, a, b);
+#else
+    fp_mul_portable(r, a, b);
+#endif
 }
 
 static inline void fp_sqr(Fp &r, const Fp &a) { fp_mul(r, a, a); }
@@ -787,120 +1101,242 @@ static void g2_compress(uint8_t out[96], const Fp2 &x, const Fp2 &y, bool inf) {
 }
 
 // ---------------------------------------------------------------------------
-// Pairing (parity: oracle/pairing.py -- affine Fp12 Miller loop, untwist,
-// conjugate for negative x, easy part + Shamir 4-way hard part)
-// ---------------------------------------------------------------------------
+// Pairing: Miller loop with G2 arithmetic in Jacobian coordinates ON THE
+// TWIST (all Fp2 -- no per-step tower inversions), sparse line
+// multiplication, and a final exponentiation whose hard part is the
+// standard BLS12 x-chain over cyclotomic squarings.
+//
+// Design parity: blst delegates this to its assembly pairing
+// (/root/reference/blst/src/kzg_proofs.rs:74-100); here it is an original
+// from-scratch implementation.
+//
+// Twist conventions (match oracle/pairing.py): E': y^2 = x^3 + 4(u+1) is an
+// M-type sextic twist with xi = 1+u, untwist psi(x,y) = (x/v, y/w^3) where
+// Fp12 = Fp6[w]/(w^2 - v), Fp6 = Fp2[v]/(v^3 - xi). Lines are scaled by
+// arbitrary Fp2 factors (killed by the final exponentiation, which contains
+// p^2 - 1). Evaluating the doubling tangent at P = (xP, yP) gives
+//     L = (3X^3 - 2Y^2)*1 + (-3 X^2 Z^2 xP)*v + (2 Y Z^3 yP)*vw
+// and the addition chord through T and affine Q gives
+//     L = (theta xQ - mu Z yQ)*w + (-theta xP)*vw + (mu Z yP)*v^2
+// with theta = Y - yQ Z^3, mu = X - xQ Z^2 (derivation in the docarchive:
+// clear lambda denominators, push w-powers into Fp2 via w^6 = xi).
 
-struct PtFp12 {
-    Fp12 x, y;
+struct G2Jac {
+    Fp2 X, Y, Z;
 };
 
-// untwist (x, y) in E'(Fp2) -> E(Fp12): x/xi into (b0, v^2), y/xi into (b1, v)
-static PtFp12 untwist(const Fp2 &x, const Fp2 &y) {
-    // xi = 1 + u; xi_inv computed once
-    Fp2 xi;
-    xi.c0 = fp_one();
-    xi.c1 = fp_one();
-    Fp2 xi_inv;
-    fp2_inv(xi_inv, xi);
-    Fp2 xs, ys;
-    fp2_mul(xs, x, xi_inv);
-    fp2_mul(ys, y, xi_inv);
-    PtFp12 r;
-    r.x.b0 = fp6_zero();
-    r.x.b1 = fp6_zero();
-    r.x.b0.a2 = xs;
-    r.y.b0 = fp6_zero();
-    r.y.b1 = fp6_zero();
-    r.y.b1.a1 = ys;
-    return r;
-}
-
-static Fp12 embed_fp(const Fp &a) {
-    Fp12 r;
-    r.b0 = fp6_zero();
-    r.b1 = fp6_zero();
-    r.b0.a0.c0 = a;
-    r.b0.a0.c1 = FP_ZERO;
-    return r;
-}
-
-// line through T (tangent if q == nullptr) evaluated at P; updates T
-static void line_eval(Fp12 &l, PtFp12 &t, const PtFp12 *q, const Fp12 &px, const Fp12 &py) {
-    Fp12 num, den, lam;
-    if (q == nullptr) {
-        Fp12 tx2;
-        fp12_sqr(tx2, t.x);
-        Fp three = fp_one();
-        Fp tmp;
-        fp_add(tmp, three, three);
-        fp_add(three, tmp, three);
-        Fp12 three12 = embed_fp(three);
-        fp12_mul(num, tx2, three12);
-        Fp12 ty2 = t.y;
-        fp6_add(ty2.b0, t.y.b0, t.y.b0);
-        fp6_add(ty2.b1, t.y.b1, t.y.b1);
-        den = ty2;
-    } else {
-        // num = qy - ty; den = qx - tx
-        Fp12 d, n;
-        fp6_sub(n.b0, q->y.b0, t.y.b0);
-        fp6_sub(n.b1, q->y.b1, t.y.b1);
-        num = n;
-        fp6_sub(d.b0, q->x.b0, t.x.b0);
-        fp6_sub(d.b1, q->x.b1, t.x.b1);
-        den = d;
+// r *= g where g = c0 + c1*v + c4*v*w (the doubling-line sparse pattern).
+// Karatsuba over the w-split: 13 Fp2 muls vs 18 for a generic fp12_mul.
+static void fp12_mul_by_014(Fp12 &r, const Fp12 &f, const Fp2 &c0, const Fp2 &c1, const Fp2 &c4) {
+    // t0 = f.b0 * (c0 + c1 v): 5 Fp2 muls
+    Fp6 t0;
+    {
+        const Fp2 &a0 = f.b0.a0, &a1 = f.b0.a1, &a2 = f.b0.a2;
+        Fp2 m00, m11, mx, s1, s2;
+        fp2_mul(m00, a0, c0);
+        fp2_mul(m11, a1, c1);
+        fp2_add(s1, a0, a1);
+        fp2_add(s2, c0, c1);
+        fp2_mul(mx, s1, s2);  // a0c1 + a1c0 + m00 + m11
+        Fp2 m21, m20;
+        fp2_mul(m21, a2, c1);
+        fp2_mul(m20, a2, c0);
+        Fp2 xi21;
+        fp2_mul_by_xi(xi21, m21);
+        fp2_add(t0.a0, m00, xi21);
+        fp2_sub(t0.a1, mx, m00);
+        fp2_sub(t0.a1, t0.a1, m11);
+        fp2_add(t0.a2, m11, m20);
     }
-    Fp12 den_inv;
-    fp12_inv(den_inv, den);
-    fp12_mul(lam, num, den_inv);
-    // l = (py - ty) - lam * (px - tx)
-    Fp12 t1, t2;
-    fp6_sub(t1.b0, py.b0, t.y.b0);
-    fp6_sub(t1.b1, py.b1, t.y.b1);
-    fp6_sub(t2.b0, px.b0, t.x.b0);
-    fp6_sub(t2.b1, px.b1, t.x.b1);
-    Fp12 lt;
-    fp12_mul(lt, lam, t2);
-    fp6_sub(l.b0, t1.b0, lt.b0);
-    fp6_sub(l.b1, t1.b1, lt.b1);
-    // T' = T + Q (or 2T)
-    const PtFp12 &o = q ? *q : t;
-    Fp12 lam2, x3, y3;
-    fp12_sqr(lam2, lam);
-    fp6_sub(x3.b0, lam2.b0, t.x.b0);
-    fp6_sub(x3.b1, lam2.b1, t.x.b1);
-    fp6_sub(x3.b0, x3.b0, o.x.b0);
-    fp6_sub(x3.b1, x3.b1, o.x.b1);
-    Fp12 dx;
-    fp6_sub(dx.b0, t.x.b0, x3.b0);
-    fp6_sub(dx.b1, t.x.b1, x3.b1);
-    Fp12 ld;
-    fp12_mul(ld, lam, dx);
-    fp6_sub(y3.b0, ld.b0, t.y.b0);
-    fp6_sub(y3.b1, ld.b1, t.y.b1);
-    t.x = x3;
-    t.y = y3;
+    // t1 = f.b1 * (c4 v): 3 Fp2 muls
+    Fp6 t1;
+    {
+        const Fp2 &b0 = f.b1.a0, &b1 = f.b1.a1, &b2 = f.b1.a2;
+        Fp2 m2;
+        fp2_mul(m2, b2, c4);
+        fp2_mul_by_xi(t1.a0, m2);
+        fp2_mul(t1.a1, b0, c4);
+        fp2_mul(t1.a2, b1, c4);
+    }
+    // u = (f.b0 + f.b1) * (c0 + (c1+c4) v): 5 Fp2 muls
+    Fp6 u;
+    {
+        Fp2 a0, a1, a2, d1;
+        fp2_add(a0, f.b0.a0, f.b1.a0);
+        fp2_add(a1, f.b0.a1, f.b1.a1);
+        fp2_add(a2, f.b0.a2, f.b1.a2);
+        fp2_add(d1, c1, c4);
+        Fp2 m00, m11, mx, s1, s2;
+        fp2_mul(m00, a0, c0);
+        fp2_mul(m11, a1, d1);
+        fp2_add(s1, a0, a1);
+        fp2_add(s2, c0, d1);
+        fp2_mul(mx, s1, s2);
+        Fp2 m21, m20;
+        fp2_mul(m21, a2, d1);
+        fp2_mul(m20, a2, c0);
+        Fp2 xi21;
+        fp2_mul_by_xi(xi21, m21);
+        fp2_add(u.a0, m00, xi21);
+        fp2_sub(u.a1, mx, m00);
+        fp2_sub(u.a1, u.a1, m11);
+        fp2_add(u.a2, m11, m20);
+    }
+    // r.b0 = t0 + v*t1 ; r.b1 = u - t0 - t1
+    Fp6 vt1;
+    fp6_mul_by_v(vt1, t1);
+    fp6_add(r.b0, t0, vt1);
+    fp6_sub(r.b1, u, t0);
+    fp6_sub(r.b1, r.b1, t1);
+}
+
+// Proper Fp12 squaring (complex/Karatsuba over the w-split): 2 Fp6 muls.
+static void fp12_sqr_fast(Fp12 &r, const Fp12 &a) {
+    Fp6 t, s0, s1;
+    fp6_mul(t, a.b0, a.b1);         // ab
+    fp6_add(s0, a.b0, a.b1);        // a+b
+    Fp6 bv;
+    fp6_mul_by_v(bv, a.b1);
+    fp6_add(s1, a.b0, bv);          // a + bv
+    fp6_mul(s0, s0, s1);            // a^2 + b^2 v + ab(1+v)
+    Fp6 tv;
+    fp6_mul_by_v(tv, t);
+    fp6_sub(s0, s0, t);
+    fp6_sub(r.b0, s0, tv);
+    fp6_add(r.b1, t, t);
+}
+
+// Doubling step: emits the tangent-line Fp2 coefficients (l0 at 1,
+// l1 at v -- to be scaled by xP, l4 at vw -- to be scaled by yP).
+static void g2_dbl_step(G2Jac &T, Fp2 &l0, Fp2 &l1, Fp2 &l4) {
+    Fp2 XX, YY, YYYY, ZZ, Z3, t;
+    fp2_sqr(XX, T.X);
+    fp2_sqr(YY, T.Y);
+    fp2_sqr(YYYY, YY);
+    fp2_sqr(ZZ, T.Z);
+    fp2_mul(Z3, ZZ, T.Z);
+    // l4 = 2 Y Z^3
+    fp2_mul(l4, T.Y, Z3);
+    fp2_add(l4, l4, l4);
+    // l1 = -3 X^2 Z^2
+    fp2_mul(l1, XX, ZZ);
+    fp2_add(t, l1, l1);
+    fp2_add(l1, t, l1);
+    fp2_neg(l1, l1);
+    // l0 = 3 X^3 - 2 Y^2
+    Fp2 X3c;
+    fp2_mul(X3c, XX, T.X);
+    fp2_add(t, X3c, X3c);
+    fp2_add(l0, t, X3c);
+    fp2_add(t, YY, YY);
+    fp2_sub(l0, l0, t);
+    // T = 2T (Jacobian, a = 0): dbl-2009-l
+    Fp2 S, M, X2, Y2, Z2;
+    fp2_add(t, T.X, YY);
+    fp2_sqr(t, t);
+    fp2_sub(t, t, XX);
+    fp2_sub(t, t, YYYY);
+    fp2_add(S, t, t);               // S = 2((X+YY)^2 - XX - YYYY)
+    fp2_add(M, XX, XX);
+    fp2_add(M, M, XX);              // M = 3 XX
+    fp2_sqr(X2, M);
+    fp2_sub(X2, X2, S);
+    fp2_sub(X2, X2, S);             // X' = M^2 - 2S
+    fp2_add(Z2, T.Y, T.Z);
+    fp2_sqr(Z2, Z2);
+    fp2_sub(Z2, Z2, YY);
+    fp2_sub(Z2, Z2, ZZ);            // Z' = (Y+Z)^2 - YY - ZZ
+    fp2_sub(t, S, X2);
+    fp2_mul(Y2, M, t);
+    Fp2 e8;
+    fp2_add(e8, YYYY, YYYY);
+    fp2_add(e8, e8, e8);
+    fp2_add(e8, e8, e8);
+    fp2_sub(Y2, Y2, e8);            // Y' = M(S - X') - 8 YYYY
+    T.X = X2;
+    T.Y = Y2;
+    T.Z = Z2;
+}
+
+// Mixed addition step T += Q: emits the chord-line Fp2 coefficients
+// (l3 at w, l4 at vw -- to be scaled by xP, l2 at v^2 -- to be scaled by yP).
+static void g2_add_step(G2Jac &T, const Fp2 &qx, const Fp2 &qy, Fp2 &l2, Fp2 &l3, Fp2 &l4) {
+    Fp2 ZZ, U2, S2, H, rr, HH, H3, XHH, t;
+    fp2_sqr(ZZ, T.Z);
+    fp2_mul(U2, qx, ZZ);            // xQ Z^2
+    fp2_mul(S2, qy, ZZ);
+    fp2_mul(S2, S2, T.Z);           // yQ Z^3
+    fp2_sub(H, U2, T.X);            // H = -mu
+    fp2_sub(rr, S2, T.Y);           // rr = -theta
+    fp2_sqr(HH, H);
+    fp2_mul(H3, HH, H);
+    fp2_mul(XHH, T.X, HH);
+    // X' = rr^2 - H^3 - 2 X HH
+    Fp2 X2;
+    fp2_sqr(X2, rr);
+    fp2_sub(X2, X2, H3);
+    fp2_sub(X2, X2, XHH);
+    fp2_sub(X2, X2, XHH);
+    // Y' = rr (X HH - X') - Y H^3
+    Fp2 Y2;
+    fp2_sub(t, XHH, X2);
+    fp2_mul(Y2, rr, t);
+    fp2_mul(t, T.Y, H3);
+    fp2_sub(Y2, Y2, t);
+    // Z' = Z H
+    Fp2 Z2;
+    fp2_mul(Z2, T.Z, H);
+    // line: theta = -rr, mu Z = -Z'
+    // l2 = mu Z = -Z'        (coefficient of v^2, scaled by yP)
+    fp2_neg(l2, Z2);
+    // l4 = -theta = rr       (coefficient of vw, scaled by xP)
+    l4 = rr;
+    // l3 = theta xQ - mu Z yQ = -rr xQ + Z' yQ
+    Fp2 a, b;
+    fp2_mul(a, rr, qx);
+    fp2_mul(b, Z2, qy);
+    fp2_sub(l3, b, a);
+    T.X = X2;
+    T.Y = Y2;
+    T.Z = Z2;
+}
+
+// Scale an Fp2 by an Fp scalar (two Fp muls).
+static inline void fp2_scale_fp(Fp2 &r, const Fp2 &a, const Fp &s) {
+    fp_mul(r.c0, a.c0, s);
+    fp_mul(r.c1, a.c1, s);
 }
 
 // Miller loop f_{|x|, Q}(P), conjugated for the negative BLS parameter.
 // Identity inputs yield 1 (neutral), matching the oracle.
 static Fp12 miller_loop(const Fp &px, const Fp &py, bool p_inf, const Fp2 &qx, const Fp2 &qy, bool q_inf) {
     if (p_inf || q_inf) return fp12_one();
-    Fp12 p12x = embed_fp(px), p12y = embed_fp(py);
-    PtFp12 q12 = untwist(qx, qy);
-    PtFp12 t = q12;
+    G2Jac T;
+    T.X = qx;
+    T.Y = qy;
+    T.Z = fp2_one();
     Fp12 f = fp12_one();
     uint64_t x = BLS_X_ABS;
     int top = 63;
     while (!((x >> top) & 1)) top--;
     for (int i = top - 1; i >= 0; i--) {
-        Fp12 l;
-        line_eval(l, t, nullptr, p12x, p12y);
-        fp12_sqr(f, f);
-        fp12_mul(f, f, l);
+        fp12_sqr_fast(f, f);
+        Fp2 l0, l1, l4;
+        g2_dbl_step(T, l0, l1, l4);
+        fp2_scale_fp(l1, l1, px);
+        fp2_scale_fp(l4, l4, py);
+        fp12_mul_by_014(f, f, l0, l1, l4);
         if ((x >> i) & 1) {
-            line_eval(l, t, &q12, p12x, p12y);
+            Fp2 a2, a3, a4;
+            g2_add_step(T, qx, qy, a2, a3, a4);
+            // sparse element a2*v^2 + a3*w + a4*vw: only 5 add steps per
+            // loop (hamming weight of |x|), a full fp12_mul is fine here.
+            Fp12 l;
+            l.b0 = fp6_zero();
+            l.b1 = fp6_zero();
+            fp2_scale_fp(l.b0.a2, a2, py);
+            l.b1.a0 = a3;
+            fp2_scale_fp(l.b1.a1, a4, px);
             fp12_mul(f, f, l);
         }
     }
@@ -909,8 +1345,81 @@ static Fp12 miller_loop(const Fp &px, const Fp &py, bool p_inf, const Fp2 &qx, c
     return r;
 }
 
+// Granger-Scott cyclotomic squaring: valid after the easy part of the final
+// exponentiation. Fp4 pairs of the Fp12 coordinates (over Fp2):
+// (a00, b01), (b00, a02), (a01, b02) with Fp4 = Fp2[s]/(s^2 - xi).
+static void fp4_square(Fp2 &c0, Fp2 &c1, const Fp2 &a, const Fp2 &b) {
+    Fp2 t0, t1, t2;
+    fp2_sqr(t0, a);
+    fp2_sqr(t1, b);
+    fp2_mul_by_xi(t2, t1);
+    fp2_add(c0, t2, t0);            // a^2 + xi b^2
+    fp2_add(t2, a, b);
+    fp2_sqr(t2, t2);
+    fp2_sub(t2, t2, t0);
+    fp2_sub(c1, t2, t1);            // 2ab
+}
+
+static void fp12_cyc_sqr(Fp12 &r, const Fp12 &a) {
+    const Fp2 &z0 = a.b0.a0, &z4 = a.b0.a1, &z3 = a.b0.a2;
+    const Fp2 &z2 = a.b1.a0, &z1 = a.b1.a1, &z5 = a.b1.a2;
+    Fp2 t0, t1, t2, t3, t4, t5, tt;
+    fp4_square(t0, t1, z0, z1);
+    fp4_square(t2, t3, z2, z3);
+    fp4_square(t4, t5, z4, z5);
+    // z0' = 3 t0 - 2 z0
+    fp2_sub(tt, t0, z0);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b0.a0, tt, t0);
+    // z1' = 3 t1 + 2 z1
+    fp2_add(tt, t1, z1);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b1.a1, tt, t1);
+    // the (z2,z3) pair's square feeds the (z4,z5) slots and vice versa
+    // (cross-wiring of the Fp4 components under gamma-multiplication):
+    // z4' = 3 t2 - 2 z4
+    fp2_sub(tt, t2, z4);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b0.a1, tt, t2);
+    // z5' = 3 t3 + 2 z5
+    fp2_add(tt, t3, z5);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b1.a2, tt, t3);
+    // z2' = 3 xi t5 + 2 z2
+    Fp2 xt5;
+    fp2_mul_by_xi(xt5, t5);
+    fp2_add(tt, xt5, z2);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b1.a0, tt, xt5);
+    // z3' = 3 t4 - 2 z3
+    fp2_sub(tt, t4, z3);
+    fp2_add(tt, tt, tt);
+    fp2_add(r.b0.a2, tt, t4);
+}
+
+// m^|x| by square-and-multiply over cyclotomic squarings, then conjugate
+// (x < 0; inverse == conjugate in the cyclotomic subgroup).
+static Fp12 fp12_cyc_exp_x(const Fp12 &m) {
+    uint64_t x = BLS_X_ABS;
+    int top = 63;
+    while (!((x >> top) & 1)) top--;
+    Fp12 acc = m;
+    for (int i = top - 1; i >= 0; i--) {
+        fp12_cyc_sqr(acc, acc);
+        if ((x >> i) & 1) fp12_mul(acc, acc, m);
+    }
+    Fp12 r;
+    fp12_conj(r, acc);
+    return r;
+}
+
+// Final exponentiation f^((p^12-1)/r), up to a harmless cube: the hard part
+// uses (x-1)^2 (x+p) (x^2+p^2-1) + 3 == 3*(p^4-p^2+1)/r (verified
+// numerically for the BLS12-381 parameters). gcd(3, r) = 1, so
+// result == 1 iff f^((p^12-1)/r) == 1 -- and pairings_verify only tests
+// against one.
 static Fp12 final_exponentiation(const Fp12 &f) {
-    // easy part: f^((p^6-1)(p^2+1))
+    // easy part: m = f^((p^6-1)(p^2+1))
     Fp12 finv, m, m2;
     fp12_inv(finv, f);
     fp12_conj(m, f);
@@ -918,36 +1427,31 @@ static Fp12 final_exponentiation(const Fp12 &f) {
     fp12_frobenius(m2, m);
     fp12_frobenius(m2, m2);
     fp12_mul(m, m2, m);
-    // hard part: Shamir 4-way multi-exp with base-p lambdas
-    Fp12 bases[4];
-    bases[0] = m;
-    for (int i = 1; i < 4; i++) fp12_frobenius(bases[i], bases[i - 1]);
-    Fp12 table[16];
-    table[0] = fp12_one();
-    for (int mask = 1; mask < 16; mask++) {
-        int low = mask & (-mask);
-        int bit = 0;
-        while (!((low >> bit) & 1)) bit++;
-        fp12_mul(table[mask], table[mask ^ low], bases[bit]);
-    }
-    const uint64_t *lams[4] = {FE_LAMBDA0, FE_LAMBDA1, FE_LAMBDA2, FE_LAMBDA3};
-    int nbits = 0;
-    for (int j = 0; j < 4; j++) {
-        for (int i = 383; i >= 0; i--) {
-            if ((lams[j][i / 64] >> (i % 64)) & 1) {
-                if (i + 1 > nbits) nbits = i + 1;
-                break;
-            }
-        }
-    }
-    Fp12 acc = fp12_one();
-    for (int i = nbits - 1; i >= 0; i--) {
-        fp12_sqr(acc, acc);
-        int mask = 0;
-        for (int j = 0; j < 4; j++) mask |= (int)((lams[j][i / 64] >> (i % 64)) & 1) << j;
-        if (mask) fp12_mul(acc, acc, table[mask]);
-    }
-    return acc;
+    // hard part (all in the cyclotomic subgroup):
+    Fp12 a, t, u, r;
+    // a = m^(x-1) = exp_x(m) * conj(m)
+    a = fp12_cyc_exp_x(m);
+    fp12_conj(t, m);
+    fp12_mul(a, a, t);
+    // a = m^((x-1)^2)
+    t = fp12_cyc_exp_x(a);
+    fp12_conj(a, a);
+    fp12_mul(a, t, a);
+    // t = a^(x+p) = exp_x(a) * frob(a)
+    t = fp12_cyc_exp_x(a);
+    fp12_frobenius(u, a);
+    fp12_mul(t, t, u);
+    // r = t^(x^2 + p^2 - 1) * m^3
+    r = fp12_cyc_exp_x(fp12_cyc_exp_x(t));
+    fp12_frobenius(u, t);
+    fp12_frobenius(u, u);
+    fp12_mul(r, r, u);
+    fp12_conj(u, t);
+    fp12_mul(r, r, u);
+    fp12_cyc_sqr(u, m);
+    fp12_mul(u, u, m);
+    fp12_mul(r, r, u);
+    return r;
 }
 
 // ---------------------------------------------------------------------------
