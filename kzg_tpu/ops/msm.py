@@ -31,6 +31,7 @@ import numpy as np
 
 from . import field as fl
 from . import g1
+from . import pallas_msm
 from .field import FP, FR
 from .g1 import G1Aff, G1XYZZ
 
@@ -121,15 +122,29 @@ def _seg_scan_hs(points: G1XYZZ, flags: jnp.ndarray) -> G1XYZZ:
     return out
 
 
-def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
-    """Inclusive segmented scan over E sorted AFFINE elements in three
-    phases: (1) sequential within-chunk scan with MIXED adds (the running
-    sum is XYZZ but every incoming element is affine: madd costs 10M vs the
-    14M of a full add) -- one traced add, work E, depth K;
-    (2) segmented Hillis-Steele over the E/K chunk aggregates;
-    (3) one carry-in add for each chunk's head piece.
-    Work ~2E + (E/K)log(E/K) point adds with a constant-size traced graph --
-    the compile-time/work sweet spot the tree recursions miss."""
+def _pick_chunk(E: int) -> int:
+    """Chunk length K so the chunk-lane count m = E/K lands on 2048 (16
+    sublane rows x 128 lanes -- a full VPU tile set for the Pallas phase-1
+    kernel) whenever the element count allows it."""
+    return max(1, -(-E // 2048))
+
+
+def _seg_scan_chunked(
+    aff: G1Aff,
+    first: jnp.ndarray,
+    last: jnp.ndarray,
+    chunk: int,
+    use_pallas: bool,
+) -> G1XYZZ:
+    """Segmented scan over E sorted AFFINE elements, valid at segment-LAST
+    positions only (all the caller consumes). Three phases: (1) sequential
+    within-chunk inclusive scan with MIXED adds (the running sum is XYZZ but
+    every incoming element is affine: madd costs 10M vs the 14M of a full
+    add) -- one traced add, work E, depth K; (2) segmented Hillis-Steele
+    over the E/K chunk aggregates; (3) ONE carry-in add per chunk, applied
+    at the chunk's first segment-end (the only position in the chunk's head
+    piece that downstream reads) -- E/K adds, not E.
+    Work ~E mixed + ~2(E/K)log(E/K) full point adds."""
     E = first.shape[-1]
     K = min(chunk, E)
     pad = (-E) % K
@@ -140,18 +155,18 @@ def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
             jnp.pad(aff.inf, (0, pad), constant_values=True),
         )
         first = jnp.pad(first, (0, pad), constant_values=True)
+        last = jnp.pad(last, (0, pad), constant_values=True)
     m = (E + pad) // K
     ax = aff.x.reshape(aff.x.shape[:-1] + (m, K))
     ay = aff.y.reshape(aff.y.shape[:-1] + (m, K))
     ainf = aff.inf.reshape(m, K)
     fl2 = first.reshape(m, K)
+    la2 = last.reshape(m, K)
 
     # phase 1: sequential inclusive scan within each chunk (lanes = chunks)
-    from . import pallas_msm
-
-    if pallas_msm.enabled() and ax.ndim == 3:
+    if use_pallas and ax.ndim == 3:
         pts = pallas_msm.seg_scan_phase1(ax, ay, ainf, fl2)
-        return _seg_scan_tail(pts, fl2, m, K, E, pad)
+        return _seg_scan_tail(pts, fl2, la2, m, K, E, pad)
 
     col0 = g1.from_affine(G1Aff(ax[..., 0], ay[..., 0], ainf[..., 0]))
     pts = G1XYZZ(
@@ -178,10 +193,12 @@ def _seg_scan_chunked(aff: G1Aff, first: jnp.ndarray, chunk: int) -> G1XYZZ:
         )
 
     pts = jax.lax.fori_loop(1, K, p1, pts)
-    return _seg_scan_tail(pts, fl2, m, K, E, pad)
+    return _seg_scan_tail(pts, fl2, la2, m, K, E, pad)
 
 
-def _seg_scan_tail(pts: G1XYZZ, fl2, m: int, K: int, E: int, pad: int) -> G1XYZZ:
+def _seg_scan_tail(
+    pts: G1XYZZ, fl2, la2, m: int, K: int, E: int, pad: int
+) -> G1XYZZ:
     # phase 2: scan the chunk aggregates (last column) with chunk-level flags
     agg = G1XYZZ(*(c[..., K - 1] for c in pts))  # (…, m)
     fchunk = fl2.any(axis=-1)  # (m,)
@@ -192,12 +209,21 @@ def _seg_scan_tail(pts: G1XYZZ, fl2, m: int, K: int, E: int, pad: int) -> G1XYZZ
         jnp.arange(m, dtype=jnp.int32) == 0, g1.infinity((m,)), carry
     )
 
-    # phase 3: apply the carry to each chunk's head piece (elements before
-    # the first segment start of their chunk)
+    # phase 3: of the head-piece positions (before the chunk's first segment
+    # start) only segment-LAST ones are ever consumed, and at most one per
+    # chunk exists (the chunk's first segment-end). Correct that single
+    # position with the carry: m point adds instead of E.
     head = jnp.cumsum(fl2.astype(jnp.int32), axis=-1) == 0  # (m, K)
-    carry_b = G1XYZZ(*(c[..., :, None] for c in carry))
-    added = g1.add_unified(carry_b, pts)
-    pts = g1.select_point(head, added, pts)
+    hl = jnp.logical_and(head, la2)
+    has = hl.any(axis=-1)  # (m,)
+    pos = jnp.argmax(hl, axis=-1)  # (m,) first True (0 if none)
+    rows = jnp.arange(m, dtype=jnp.int32)
+    gathered = G1XYZZ(*(c[..., rows, pos] for c in pts))  # (…, m)
+    corrected = g1.add_unified(carry, gathered)
+    newv = g1.select_point(has, corrected, gathered)
+    pts = G1XYZZ(
+        *(c.at[..., rows, pos].set(v) for c, v in zip(pts, newv))
+    )
 
     out = G1XYZZ(*(c.reshape(c.shape[:-2] + (m * K,)) for c in pts))
     if pad:
@@ -206,14 +232,20 @@ def _seg_scan_tail(pts: G1XYZZ, fl2, m: int, K: int, E: int, pad: int) -> G1XYZZ
 
 
 def segment_sum_points(
-    points: G1Aff, keys: jnp.ndarray, n_keys: int, chunk: int = 64
+    points: G1Aff,
+    keys: jnp.ndarray,
+    n_keys: int,
+    chunk: Optional[int] = None,
+    use_pallas: bool = False,
 ) -> G1XYZZ:
     """Sum AFFINE points sharing the same key. `keys` must be SORTED
     ascending, shape (E,); points have batch shape (E,). Returns
     (…, n_keys) XYZZ sums (identity for empty keys)."""
+    if chunk is None:
+        chunk = _pick_chunk(keys.shape[-1])
     first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    scanned = _seg_scan_chunked(points, first, chunk)
     last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    scanned = _seg_scan_chunked(points, first, last, chunk, use_pallas)
     # scatter each segment's total (at its last position) into the key slot;
     # non-last positions go to a dump slot n_keys.
     idx = jnp.where(last, keys, n_keys)
@@ -227,13 +259,48 @@ def segment_sum_points(
     return G1XYZZ(*(c[..., :n_keys] for c in out))
 
 
+def _weighted_index_sum(p: G1XYZZ) -> G1XYZZ:
+    """sum_k k * p[..., k] over a SMALL last axis via suffix scan:
+    sum_k k*S_k = sum_{j>=1} (sum_{k>=j} S_k). Returns (..., 1)."""
+    tail = G1XYZZ(*(c[..., 1:] for c in p))
+    suffix = g1.suffix_scan_add(tail)
+    return g1.tree_reduce(suffix)
+
+
 def integrate_buckets(buckets: G1XYZZ) -> G1XYZZ:
     """sum_b b * buckets[..., b] over the last axis, where index 0 has weight
     0 (parity: bucket integration, msm/tiling_pippenger_ops.rs:21-45).
-    Suffix-scan formulation: sum_b b*S_b = sum_{k>=1} (sum_{b>=k} S_b)."""
-    tail = G1XYZZ(*(c[..., 1:] for c in buckets))
-    suffix = g1.suffix_scan_add(tail)
-    return g1.tree_reduce(suffix)
+
+    Split the bucket index b = hi*G + lo (G ~ sqrt(B)):
+      sum_b b*S_b = G * sum_hi hi*A_hi + sum_lo lo*B_lo,
+      A_hi = sum_lo S_{hi,lo},  B_lo = sum_hi S_{hi,lo}.
+    The two groupings are log-depth tree reductions (~2B wide adds) and the
+    two weighted sums are suffix scans over ~sqrt(B) lanes -- ~6x less point
+    work than a suffix scan over the whole bucket axis, and the doubling
+    chain for the G factor is only log2(G) long."""
+    B = buckets.x.shape[-1]
+    if B <= 32:
+        return _weighted_index_sum(buckets)
+    g_bits = (B - 1).bit_length() // 2
+    G = 1 << g_bits
+    H = -(-B // G)
+    pad = H * G - B
+    if pad:
+        buckets = G1XYZZ(
+            *(jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)]) for c in buckets)
+        )
+    sq = G1XYZZ(*(c.reshape(c.shape[:-1] + (H, G)) for c in buckets))
+    a_hi = g1.tree_reduce(sq, unroll=True)  # (..., H, 1)
+    a_hi = G1XYZZ(*(c[..., 0] for c in a_hi))  # (..., H)
+    b_lo = g1.tree_reduce(
+        G1XYZZ(*(jnp.swapaxes(c, -1, -2) for c in sq)), unroll=True
+    )
+    b_lo = G1XYZZ(*(c[..., 0] for c in b_lo))  # (..., G)
+    wa = _weighted_index_sum(a_hi)  # (..., 1)
+    wb = _weighted_index_sum(b_lo)  # (..., 1)
+    wa = _dbl_n(G1XYZZ(*(c[..., 0] for c in wa)), g_bits)
+    out = g1.add_unified(wa, G1XYZZ(*(c[..., 0] for c in wb)))
+    return G1XYZZ(*(c[..., None] for c in out))
 
 
 def _dbl_n(p: G1XYZZ, n: int) -> G1XYZZ:
@@ -254,20 +321,28 @@ def msm(
     points: G1Aff,
     scalars: jnp.ndarray,
     c: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> G1XYZZ:
     """Variable-base MSM. points: affine batch (…, *batch, n); scalars:
     canonical Fr limbs (16, *batch, n). Returns XYZZ sums of batch shape
     (*batch,). All leading batch dims are independent MSMs fused into one
     sort + one scan.
+
+    use_pallas selects the Pallas scan kernel; None resolves from the
+    process default backend -- callers executing on an explicit non-default
+    mesh (shard_map) must pass it explicitly, since the devices actually
+    running the computation may differ from jax.default_backend().
     (parity: msm() /root/reference/kzg/src/msm/msm_impls.rs:113-148)"""
     n = points.x.shape[-1]
+    if use_pallas is None:
+        use_pallas = pallas_msm.enabled()
     if n < 8 and points.x.ndim == 2:
         # tiny inputs: per-lane ladder + tree reduce beats the sort machinery
         # (parity: the reference's naive loop below 8 points)
         return _msm_ladder_jit(points, scalars)
     if c is None:
         c = default_window(n, fixed_base=False)
-    return _msm_jit(points, scalars, c)
+    return _msm_jit(points, scalars, c, use_pallas)
 
 
 @jax.jit
@@ -276,13 +351,23 @@ def _msm_ladder_jit(points: G1Aff, scalars: jnp.ndarray) -> G1XYZZ:
     return G1XYZZ(*(cc[..., 0] for cc in out))
 
 
-@partial(jax.jit, static_argnames=("c",))
-def _msm_jit(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
-    return msm_core(points, scalars, c)
+@partial(jax.jit, static_argnames=("c", "use_pallas"))
+def _msm_jit(
+    points: G1Aff, scalars: jnp.ndarray, c: int, use_pallas: bool
+) -> G1XYZZ:
+    return msm_core(points, scalars, c, use_pallas)
 
 
-def msm_core(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
-    """Unjitted variable-base MSM body (composable under shard_map/jit)."""
+def msm_core(
+    points: G1Aff, scalars: jnp.ndarray, c: int, use_pallas: Optional[bool] = None
+) -> G1XYZZ:
+    """Unjitted variable-base MSM body (composable under shard_map/jit).
+
+    use_pallas=None resolves from the process default backend at trace time
+    -- correct for jit on the default device set; shard_map callers on an
+    explicit mesh must pass a bool (the mesh platform may differ)."""
+    if use_pallas is None:
+        use_pallas = pallas_msm.enabled()
     n = points.x.shape[-1]
     batch = points.x.shape[1:-1]
     nb = int(np.prod(batch)) if batch else 1
@@ -319,7 +404,9 @@ def msm_core(points: G1Aff, scalars: jnp.ndarray, c: int) -> G1XYZZ:
     pinf = einf.reshape(E)[order]
 
     n_keys = nb * w * (half + 1)
-    sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, n_keys)
+    sums = segment_sum_points(
+        G1Aff(px, py, pinf), sorted_keys, n_keys, use_pallas=use_pallas
+    )
     buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums))
 
     win = integrate_buckets(buckets)  # (L, nb, w, 1)
@@ -379,33 +466,49 @@ def _build_table_jit(points: G1Aff, c: int):
     return aff.x, aff.y, aff.inf
 
 
-def msm_fixed(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
+def msm_fixed(
+    table: FixedBaseTable,
+    scalars: jnp.ndarray,
+    use_pallas: Optional[bool] = None,
+) -> G1XYZZ:
     """Fixed-base MSM against a precomputed table: window combination is
     free (the table already holds 2^(c*j)-multiples), so the whole MSM is
     one segmented reduction over a single bucket space -- no doubling chain.
 
     scalars: canonical Fr limbs (16, *batch, n) with n == table.n; leading
     batch dims are independent MSMs over the same base points."""
-    return _msm_fixed_jit(table.x, table.y, table.inf, scalars, table.c)
+    if use_pallas is None:
+        use_pallas = pallas_msm.enabled()
+    return _msm_fixed_jit(
+        table.x, table.y, table.inf, scalars, table.c, use_pallas
+    )
 
 
-@partial(jax.jit, static_argnames=("c",))
+@partial(jax.jit, static_argnames=("c", "use_pallas"))
 def _msm_fixed_jit(
     tab_x: jnp.ndarray,
     tab_y: jnp.ndarray,
     tab_inf: jnp.ndarray,
     scalars: jnp.ndarray,
     c: int,
+    use_pallas: bool,
 ) -> G1XYZZ:
-    return msm_fixed_core(FixedBaseTable(tab_x, tab_y, tab_inf, c), scalars)
+    return msm_fixed_core(
+        FixedBaseTable(tab_x, tab_y, tab_inf, c), scalars, use_pallas
+    )
 
 
-def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
+def msm_fixed_core(
+    table: FixedBaseTable, scalars: jnp.ndarray, use_pallas: Optional[bool] = None
+) -> G1XYZZ:
     """Unjitted fixed-base MSM body (composable under shard_map/jit).
 
     The table may carry its own trailing batch dims (distinct base-point
     sets, e.g. the 128 FK20 columns): table.x (L, w, *tbatch, n) with tbatch
-    broadcastable against the scalars' batch dims from the right."""
+    broadcastable against the scalars' batch dims from the right.
+    use_pallas semantics as in msm_core."""
+    if use_pallas is None:
+        use_pallas = pallas_msm.enabled()
     c = table.c
     w = num_windows(c)
     half = 1 << (c - 1)
@@ -449,7 +552,9 @@ def msm_fixed_core(table: FixedBaseTable, scalars: jnp.ndarray) -> G1XYZZ:
     py = ey.reshape(FP.n_limbs, E)[:, order]
     pinf = einf.reshape(E)[order]
 
-    sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, nb * (half + 1))
+    sums = segment_sum_points(
+        G1Aff(px, py, pinf), sorted_keys, nb * (half + 1), use_pallas=use_pallas
+    )
     buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
 
     acc = integrate_buckets(buckets)  # (L, nb, 1)

@@ -25,6 +25,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..ops import g1
 from ..ops import msm as m
+from ..ops import pallas_msm
 from ..ops.g1 import G1Aff, G1XYZZ
 
 
@@ -51,9 +52,14 @@ def msm_fixed_sharded(
     Returns replicated-over-points, blob-sharded XYZZ results (…, B).
     """
     c = table.c
+    # Gate the Pallas kernel on the MESH platform, not the process default
+    # backend: a CPU mesh in a TPU-default process must not trace the kernel.
+    use_pallas = pallas_msm.enabled_for(mesh)
 
     def shard_fn(tx, ty, tinf, sc):
-        part = m.msm_fixed_core(m.FixedBaseTable(tx, ty, tinf, c), sc)
+        part = m.msm_fixed_core(
+            m.FixedBaseTable(tx, ty, tinf, c), sc, use_pallas=use_pallas
+        )
         full = _combine_gathered(part, point_axis)
         return G1XYZZ(*(a[..., 0] for a in full))
 
@@ -87,9 +93,10 @@ def msm_sharded(
     n_dev = mesh.shape[point_axis]
     if c is None:
         c = m.default_window(max(1, n // n_dev), fixed_base=False)
+    use_pallas = pallas_msm.enabled_for(mesh)
 
     def shard_fn(px, py, pinf, sc):
-        part = m.msm_core(G1Aff(px, py, pinf), sc, c)
+        part = m.msm_core(G1Aff(px, py, pinf), sc, c, use_pallas=use_pallas)
         full = _combine_gathered(part, point_axis)
         return G1XYZZ(*(a[..., 0] for a in full))
 
