@@ -84,7 +84,13 @@ def main():
             extra = f"  ({base1/(dt*1e3):.1f}x blst-1c, {base16/(dt*1e3):.1f}x blst-16c)"
         print(f"{name:36s} {dt*1e3:10.3f} ms{extra}", file=sys.stderr)
 
-    # micro: MSM
+    def fence(out):
+        # jax.block_until_ready does NOT fence execution through the remote
+        # axon tunnel (PERF.md "Measurement integrity"); only a host
+        # read-back is an honest fence.
+        return [np.asarray(c) for c in jax.tree.leaves(out)]
+
+    # micro: MSM at the reference's default size
     npow = int(os.environ.get("BENCH_NPOW", "12"))
     n = 1 << npow
     sc = jnp.asarray(
@@ -95,7 +101,7 @@ def main():
     run(
         f"g1_lincomb_{n}",
         lambda: (),
-        lambda: jax.block_until_ready(dmsm.msm_fixed(table, sc)),
+        lambda: fence(dmsm.msm_fixed(table, sc)),
     )
 
     # micro: fft_fr scale 15
@@ -103,7 +109,7 @@ def main():
     run(
         "fft_fr_scale15",
         lambda: (),
-        lambda: jax.block_until_ready(dfft.fft(vals)),
+        lambda: fence(dfft.fft(vals)),
     )
 
     # protocol ops
@@ -167,6 +173,38 @@ def main():
             [commitment] * 128, list(range(128)), cells, cell_proofs, s
         ),
     )
+
+    # MSM size-scaling sweep (BASELINE.md north-star curve; parity:
+    # BENCH_NPOW sweep, kzg-bench/src/benches/lincomb.rs:25-27). Variable
+    # base: build-table cost would dominate a fresh setup at each size.
+    if not want or "msm_sweep" in want:
+        sweep = {}
+        from kzg_tpu.ops import g1 as dg1
+        from kzg_tpu.oracle.kzg import generate_trusted_setup
+
+        g1m, _ = generate_trusted_setup(4096, 31337)
+        for p in [int(x) for x in os.environ.get(
+            "BENCH_SWEEP_POWS", "12,14,16,18,20"
+        ).split(",")]:
+            m = 1 << p
+            # synthetic points (tiled generated setup: arithmetic cost is
+            # identical to a real setup of this size)
+            base = dg1.affine_from_ints((g1m * ((m + 4095) // 4096))[:m])
+            scs = jnp.asarray(
+                ints_to_limbs(
+                    [int.from_bytes(rng.bytes(32), "big") % R for _ in range(m)], 16
+                )
+            )
+            out = dmsm.msm(base, scs)  # compile + warm
+            fence(out)
+            dt = timeit(lambda: fence(dmsm.msm(base, scs)), max(2, args.iters // 2))
+            sweep[f"2^{p}"] = {"ms": dt * 1e3, "pts_per_sec": m / dt}
+            print(
+                f"msm_variable 2^{p:<2d} {dt*1e3:10.2f} ms  "
+                f"({m/dt/1e3:.0f}k pts/s)",
+                file=sys.stderr,
+            )
+        results["msm_sweep_variable_base"] = sweep
 
     print(json.dumps(results, indent=2))
     if args.json:
