@@ -20,7 +20,7 @@ Pallas-compatible.
 """
 
 from dataclasses import dataclass
-from functools import cached_property, partial
+from functools import cached_property, lru_cache, partial
 from typing import List
 
 import jax
@@ -376,6 +376,125 @@ def mont_mul_unrolled(spec: FieldSpec, a, b) -> jnp.ndarray:
     return _stack(cond_sub_mod(spec, limbs, top_carry=top))
 
 
+def _mxu_mats_np(spec: FieldSpec):
+    """Byte-band (Toeplitz) matrices of the FIXED reduction constants, for
+    the MXU formulation of the Montgomery reduction (mont_mul_mxu):
+      NpT[p, j] = byte (p-j) of N' = -m^-1 mod 2^(16L)   (2L x 2L)
+      N8T[q, j] = byte (q-j) of m                        (4L x 2L)
+    Values are 0..255 -- exactly representable in bfloat16, and every MXU
+    accumulation stays below 2^24, so the bf16 matmul is exact."""
+    L = spec.n_limbs
+    Rm = 1 << (16 * L)
+    nprime = (-pow(spec.modulus, -1, Rm)) % Rm
+    npb = nprime.to_bytes(2 * L, "little")
+    nb = spec.modulus.to_bytes(2 * L, "little")
+    K = 2 * L
+    NpT = np.zeros((K, K), np.float32)
+    N8T = np.zeros((2 * K, K), np.float32)
+    for j in range(K):
+        for p in range(j, K):
+            NpT[p, j] = npb[p - j]
+        for q in range(j, j + K):
+            N8T[q, j] = nb[q - j]
+    return NpT, N8T
+
+
+@lru_cache(maxsize=None)
+def mxu_mats(name: str):
+    # Keep the cache in NUMPY (bf16 via ml_dtypes): converting with jnp
+    # inside a trace would cache a tracer and leak it into later traces.
+    import ml_dtypes
+
+    spec = FR if name == "Fr" else FP
+    NpT, N8T = _mxu_mats_np(spec)
+    return (
+        NpT.astype(ml_dtypes.bfloat16),
+        N8T.astype(ml_dtypes.bfloat16),
+    )
+
+
+def mont_mul_mxu(spec: FieldSpec, a, b, mats=None) -> jnp.ndarray:
+    """Montgomery product with the REDUCTION on the MXU.
+
+    The schoolbook product columns stay on the VPU (both operands vary),
+    but the two reduction multiplies have one FIXED operand each:
+        m  = T_lo * N' mod R     -> byte-band matmul vs NpT
+        T' = (T + m * m_mod) / R -> byte-band matmul vs N8T
+    which moves ~half the multiply work to a unit with ~100x headroom.
+    Exactness: all matrix/vector entries are bytes, f32 accumulators stay
+    below 2^24 (48 terms x 255^2 ~= 3.1M). Differential-tested against
+    mont_mul (tests/test_device_field.py)."""
+    L = spec.n_limbs
+    K2 = 2 * L
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    if mats is None:
+        mats = mxu_mats(spec.name)
+    NpT, N8T = mats
+
+    # 1. product columns (VPU)
+    zero = jnp.zeros(batch, jnp.uint32)
+    cols = [zero] * (K2 + 1)
+    for i in range(L):
+        ai = a[i]
+        for j in range(L):
+            p = ai * b[j]
+            cols[i + j] = cols[i + j] + (p & 0xFFFF)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
+
+    # 2. normalize the low half to 16-bit limbs (T mod R)
+    t = []
+    carry = zero
+    for k in range(L):
+        s = cols[k] + carry
+        t.append(s & 0xFFFF)
+        carry = s >> 16
+    col_l = cols[L] + carry
+
+    # 3. m = (T mod R) * N' mod R on the MXU (byte granularity)
+    vb = []
+    for limb in t:
+        vb.append(limb & 0xFF)
+        vb.append(limb >> 8)
+    # Mosaic has no u32->bf16 or f32->u32 casts; bounce through int32
+    # (all values fit comfortably).
+    v = jnp.stack(vb).astype(jnp.int32).astype(jnp.bfloat16)  # (2L, *batch)
+    m8 = jax.lax.dot_general(
+        NpT, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32).astype(jnp.uint32)
+
+    # 4. normalize m to bytes
+    mb = []
+    carry = zero
+    for p in range(K2):
+        s = m8[p] + carry
+        mb.append(s & 0xFF)
+        carry = s >> 8
+    mv = jnp.stack(mb).astype(jnp.int32).astype(jnp.bfloat16)
+
+    # 5. m * modulus on the MXU -> byte columns (4L)
+    mn8 = jax.lax.dot_general(
+        N8T, mv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32).astype(jnp.uint32)
+
+    # 6. (T + m*modulus) / R: low half folds to a carry, high half to limbs
+    carry = zero
+    for j in range(L):
+        mn16 = mn8[2 * j] + (mn8[2 * j + 1] << 8)
+        s = t[j] + mn16 + carry
+        carry = s >> 16
+    out = []
+    for j in range(L, K2):
+        mn16 = mn8[2 * j] + (mn8[2 * j + 1] << 8)
+        base = col_l if j == L else cols[j]
+        s = base + mn16 + carry
+        out.append(s & 0xFFFF)
+        carry = s >> 16
+    top = cols[K2] + carry
+    return _stack(cond_sub_mod(spec, out, top_carry=top))
+
+
 def mont_mul(spec: FieldSpec, a, b) -> jnp.ndarray:
     """Montgomery product a * b * R^{-1} mod m, vectorized over batch.
 
@@ -482,12 +601,18 @@ def neg_unrolled(spec: FieldSpec, a) -> jnp.ndarray:
 class _UnrolledFieldOps:
     """Context manager: swap the module-level field ops for the unrolled
     dataflow forms while tracing a Pallas kernel body (the loop-mode forms
-    use dynamic_update_slice loops that Mosaic handles poorly)."""
+    use dynamic_update_slice loops that Mosaic handles poorly).
+
+    mont: optional replacement for mont_mul (e.g. the MXU-reduction form
+    with the band matrices bound to in-kernel refs)."""
+
+    def __init__(self, mont=None):
+        self._mont = mont
 
     def __enter__(self):
         global mont_mul, add, sub, neg
         self._saved = (mont_mul, add, sub, neg)
-        mont_mul = mont_mul_unrolled
+        mont_mul = self._mont if self._mont is not None else mont_mul_unrolled
         add = add_unrolled
         sub = sub_unrolled
         neg = neg_unrolled

@@ -180,6 +180,33 @@ def add_unified(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
     return res
 
 
+# stable alias: the Pallas router (pallas_msm.tiled_add_unified) falls back
+# to this when the module-global add_unified has been swapped
+add_unified_jnp = add_unified
+
+
+class _TiledPallasAdds:
+    """Context manager: route module-level add_unified through the
+    fixed-shape Pallas elementwise kernel for large batches (XLA's spilled
+    codegen for the 23-mul unified add runs ~10x below the VPU ceiling).
+    Only for XLA-level code on a TPU -- never inside another kernel trace."""
+
+    def __enter__(self):
+        global add_unified
+        from . import pallas_msm
+
+        self._saved = add_unified
+        add_unified = pallas_msm.tiled_add_unified
+
+    def __exit__(self, *exc):
+        global add_unified
+        add_unified = self._saved
+        return False
+
+
+tiled_pallas_adds = _TiledPallasAdds
+
+
 def madd_unified(p: G1XYZZ, a: G1Aff) -> G1XYZZ:
     """Branchless mixed addition XYZZ + affine (madd-2008-s): 8M + 2S on the
     main path, with the doubling fallback fused into the same rounds."""

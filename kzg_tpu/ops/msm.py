@@ -246,17 +246,15 @@ def segment_sum_points(
     first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
     scanned = _seg_scan_chunked(points, first, last, chunk, use_pallas)
-    # scatter each segment's total (at its last position) into the key slot;
-    # non-last positions go to a dump slot n_keys.
-    idx = jnp.where(last, keys, n_keys)
-    out = g1.infinity((n_keys + 1,))
-    out = G1XYZZ(
-        out.x.at[:, idx].set(scanned.x),
-        out.y.at[:, idx].set(scanned.y),
-        out.zz.at[:, idx].set(scanned.zz),
-        out.zzz.at[:, idx].set(scanned.zzz),
-    )
-    return G1XYZZ(*(c[..., :n_keys] for c in out))
+    # Dense bucket array WITHOUT a scatter (XLA scatter serializes on TPU):
+    # for each key slot, binary-search the sorted keys for its last element
+    # and gather the scan value there; empty slots select identity.
+    slots = jnp.arange(n_keys, dtype=keys.dtype)
+    pos = jnp.searchsorted(keys, slots, side="right") - 1  # (n_keys,)
+    pos_c = jnp.clip(pos, 0, keys.shape[-1] - 1)
+    hit = jnp.logical_and(pos >= 0, keys[pos_c] == slots)
+    out = G1XYZZ(*(c[..., pos_c] for c in scanned))
+    return g1.select_point(hit, out, g1.infinity((n_keys,)))
 
 
 def _weighted_index_sum(p: G1XYZZ) -> G1XYZZ:
@@ -404,12 +402,17 @@ def msm_core(
     pinf = einf.reshape(E)[order]
 
     n_keys = nb * w * (half + 1)
-    sums = segment_sum_points(
-        G1Aff(px, py, pinf), sorted_keys, n_keys, use_pallas=use_pallas
-    )
-    buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums))
+    from contextlib import nullcontext
 
-    win = integrate_buckets(buckets)  # (L, nb, w, 1)
+    with g1.tiled_pallas_adds() if use_pallas else nullcontext():
+        sums = segment_sum_points(
+            G1Aff(px, py, pinf), sorted_keys, n_keys, use_pallas=use_pallas
+        )
+        buckets = G1XYZZ(
+            *(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums)
+        )
+
+        win = integrate_buckets(buckets)  # (L, nb, w, 1)
     win = G1XYZZ(*(cc[..., 0] for cc in win))  # (L, nb, w)
 
     # Horner over windows, high to low: one traced (c doublings + add) body
@@ -552,12 +555,15 @@ def msm_fixed_core(
     py = ey.reshape(FP.n_limbs, E)[:, order]
     pinf = einf.reshape(E)[order]
 
-    sums = segment_sum_points(
-        G1Aff(px, py, pinf), sorted_keys, nb * (half + 1), use_pallas=use_pallas
-    )
-    buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
+    from contextlib import nullcontext
 
-    acc = integrate_buckets(buckets)  # (L, nb, 1)
+    with g1.tiled_pallas_adds() if use_pallas else nullcontext():
+        sums = segment_sum_points(
+            G1Aff(px, py, pinf), sorted_keys, nb * (half + 1), use_pallas=use_pallas
+        )
+        buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
+
+        acc = integrate_buckets(buckets)  # (L, nb, 1)
     acc = G1XYZZ(*(cc[..., 0] for cc in acc))
     if batch:
         return G1XYZZ(*(cc.reshape((FP.n_limbs,) + batch) for cc in acc))

@@ -25,6 +25,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import field as fl
 from . import g1
@@ -32,6 +33,15 @@ from .field import FP
 from .g1 import G1Aff, G1XYZZ
 
 S = 16  # sublane rows per tile: S*128 = 2048 chunk lanes per grid program
+
+
+def _mxu_on() -> bool:
+    """Route the in-kernel Montgomery reductions through the MXU
+    (field.mont_mul_mxu); KZG_TPU_MXU=1 enables. Default OFF: measured
+    slightly SLOWER than the pure-VPU kernel on v5e (the stack/cast
+    relayouts around the byte-band matmuls cost more than the saved
+    multiplies); kept for future tuning."""
+    return os.environ.get("KZG_TPU_MXU", "0") == "1"
 
 
 def enabled() -> bool:
@@ -61,14 +71,29 @@ def enabled_for(mesh) -> bool:
         return False
 
 
+def _kernel_mont(npT, n8T):
+    """mont_mul replacement for kernel bodies: MXU byte-band reduction for
+    Fp (the only field inside G1 kernels), with the matrices bound to
+    in-kernel values."""
+
+    def mont(spec, a, b):
+        if spec is not FP:
+            return fl.mont_mul_unrolled(spec, a, b)
+        return fl.mont_mul_mxu(spec, a, b, mats=(npT, n8T))
+
+    return mont
+
+
 @lru_cache(maxsize=None)
-def _phase1_call(K: int, MS: int):
+def _phase1_call(K: int, MS: int, mxu: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L = FP.n_limbs
 
     def kernel(
+        npT_ref,
+        n8T_ref,
         ax_ref,
         ay_ref,
         ainf_ref,
@@ -83,7 +108,8 @@ def _phase1_call(K: int, MS: int):
         acczzz,
     ):
         t = pl.program_id(1)
-        with fl.unrolled_ops():
+        mont = _kernel_mont(npT_ref[...], n8T_ref[...]) if mxu else None
+        with fl.unrolled_ops(mont=mont):
             axt = ax_ref[0]  # (L, S, 128)
             ayt = ay_ref[0]
             inft = ainf_ref[0] != 0  # (S, 128)
@@ -110,24 +136,130 @@ def _phase1_call(K: int, MS: int):
     mask = lambda: pl.BlockSpec(
         (1, S, 128), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM
     )
+    matspec = lambda shape: pl.BlockSpec(
+        shape, lambda i, t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
 
     interpret = os.environ.get("KZG_TPU_PALLAS_INTERPRET", "0") == "1"
 
     @jax.jit
     def call(ax, ay, ainf, first):
         # ax/ay: (K, L, MS, 128); ainf/first: (K, MS, 128)
+        npT, n8T = fl.mxu_mats(FP.name)
         outs = pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct(ax.shape, ax.dtype)] * 4,
             grid=(MS // S, K),
-            in_specs=[coord(), coord(), mask(), mask()],
+            in_specs=[
+                matspec(npT.shape),
+                matspec(n8T.shape),
+                coord(),
+                coord(),
+                mask(),
+                mask(),
+            ],
             out_specs=[coord()] * 4,
             scratch_shapes=[pltpu.VMEM((L, S, 128), jnp.uint32)] * 4,
             interpret=interpret,
-        )(ax, ay, ainf, first)
+        )(npT, n8T, ax, ay, ainf, first)
         return G1XYZZ(*outs)
 
     return call
+
+
+@lru_cache(maxsize=None)
+def _add_call():
+    """Fixed-shape (L, S, 128) elementwise complete-addition kernel.
+
+    XLA's generated code for wide add_unified chains runs ~10x below the
+    VPU ceiling (every limb intermediate spills between fused regions);
+    this kernel keeps the whole 23-mul dataflow in registers. The shape is
+    FIXED at S*128 lanes so the Mosaic kernel compiles exactly once;
+    arbitrary sizes are tiled by add_points_tiled via lax.map."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = FP.n_limbs
+
+    def kernel(px, py, pzz, pzzz, qx, qy, qzz, qzzz, ox, oy, ozz, ozzz):
+        with fl.unrolled_ops():
+            p = G1XYZZ(px[...], py[...], pzz[...], pzzz[...])
+            q = G1XYZZ(qx[...], qy[...], qzz[...], qzzz[...])
+            # add_unified_jnp: the module-global add_unified may be swapped
+            # to the tiled router while this kernel traces (recursion!)
+            r = g1.add_unified_jnp(p, q)
+            ox[...] = r.x
+            oy[...] = r.y
+            ozz[...] = r.zz
+            ozzz[...] = r.zzz
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = os.environ.get("KZG_TPU_PALLAS_INTERPRET", "0") == "1"
+
+    @jax.jit
+    def call(p, q):
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((L, S, 128), jnp.uint32)] * 4,
+            in_specs=[spec] * 8,
+            out_specs=[spec] * 4,
+            interpret=interpret,
+        )(*p, *q)
+        return G1XYZZ(*outs)
+
+    return call
+
+
+def add_points_tiled(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
+    """Complete XYZZ addition over arbitrary batch shapes through the
+    fixed-shape Pallas kernel: flatten, pad to S*128-lane chunks, lax.map
+    the kernel over chunks (one compiled executable regardless of size)."""
+    L = FP.n_limbs
+    shape = jnp.broadcast_shapes(p.x.shape, q.x.shape)
+    batch = shape[1:]
+    M = int(np.prod(batch)) if batch else 1
+    lanes = S * 128
+    T = -(-M // lanes)
+    pad = T * lanes - M
+
+    def prep(c):
+        c = jnp.broadcast_to(c, shape).reshape(L, M)
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, pad)))
+        return c.reshape(L, T, S, 128).transpose(1, 0, 2, 3)  # (T, L, S, 128)
+
+    pc = [prep(c) for c in p]
+    qc = [prep(c) for c in q]
+    call = _add_call()
+
+    if T == 1:
+        out = call([c[0] for c in pc], [c[0] for c in qc])
+        outs = [c[None] for c in out]
+    else:
+        stacked = tuple(pc) + tuple(qc)
+
+        def one(args):
+            return tuple(call(args[:4], args[4:]))
+
+        outs = jax.lax.map(one, stacked)
+    res = []
+    for c in outs:
+        c = c.transpose(1, 0, 2, 3).reshape(L, T * lanes)
+        res.append(c[:, :M].reshape((L,) + batch))
+    return G1XYZZ(*res)
+
+
+_TILED_MIN_LANES = 1024
+
+
+def tiled_add_unified(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
+    """add_unified that routes big batches through the Pallas kernel and
+    small ones through the jnp path."""
+    shape = jnp.broadcast_shapes(p.x.shape, q.x.shape)
+    M = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    if M >= _TILED_MIN_LANES:
+        return add_points_tiled(p, q)
+    return g1.add_unified_jnp(p, q)
 
 
 def seg_scan_phase1(aff_x, aff_y, aff_inf, first) -> G1XYZZ:
@@ -155,7 +287,7 @@ def seg_scan_phase1(aff_x, aff_y, aff_inf, first) -> G1XYZZ:
             a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=1)
         return a.reshape(K, MS, 128)
 
-    out = _phase1_call(K, MS)(
+    out = _phase1_call(K, MS, _mxu_on())(
         to_coord(aff_x), to_coord(aff_y), to_mask(aff_inf), to_mask(first)
     )
 
