@@ -72,8 +72,11 @@ def verify_blob_kzg_proof_batch(
     commitments: Sequence[bytes],
     proofs: Sequence[bytes],
     s: Settings,
+    mesh=None,
 ) -> bool:
-    return _e4.verify_blob_kzg_proof_batch(blobs, commitments, proofs, s)
+    """mesh: optional jax.sharding.Mesh with a "blobs" axis to shard the
+    batch across chips (ICI collectives combine the MSM partials)."""
+    return _e4.verify_blob_kzg_proof_batch(blobs, commitments, proofs, s, mesh=mesh)
 
 
 # batched throughput variants (beyond the reference's surface)

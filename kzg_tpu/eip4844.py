@@ -143,6 +143,108 @@ def _lincomb_program(px, py, pinf, scalars, c: int):
 
 
 # ---------------------------------------------------------------------------
+# Multi-chip (mesh-sharded) variants of the batch programs: the blob batch
+# is the natural shard axis -- exactly the reference's per-physical-core
+# chunking (eip_4844.rs:770-816), expressed as shard_map over a
+# jax.sharding.Mesh with a "blobs" axis. Partial MSM sums combine over ICI.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_specs(mesh, blob_axis: str = "blobs"):
+    from jax.sharding import PartitionSpec as P
+
+    if blob_axis not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{blob_axis}' axis")
+    return P
+
+
+def _commit_program_sharded(mesh, table: dmsm.FixedBaseTable, scalars):
+    """Fixed-base commitment MSMs with the blob batch sharded over the
+    mesh's "blobs" axis (table replicated). scalars: (16, B, n)."""
+    from jax.experimental.shard_map import shard_map
+
+    P = _mesh_specs(mesh)
+    from .ops import pallas_msm
+
+    use_pallas = pallas_msm.enabled_for(mesh)
+    c = table.c
+
+    def fn(tx, ty, tinf, sc):
+        return dmsm.msm_fixed_core(
+            dmsm.FixedBaseTable(tx, ty, tinf, c), sc, use_pallas=use_pallas
+        )
+
+    spec_out = dg1.G1XYZZ(*([P(None, "blobs")] * 4))
+    f = shard_map(
+        fn,
+        mesh=mesh,
+        check_rep=False,
+        in_specs=(P(), P(), P(), P(None, "blobs", None)),
+        out_specs=spec_out,
+    )
+    out = jax.jit(f)(table.x, table.y, table.inf, scalars)
+    return jax.jit(dg1.to_affine)(out)
+
+
+def _eval_program_sharded(mesh, poly_limbs, z_limbs, roots_m):
+    """Barycentric eval with blobs sharded over the mesh."""
+    from jax.experimental.shard_map import shard_map
+
+    P = _mesh_specs(mesh)
+
+    def fn(p_, z_, r_):
+        poly_m = fl.from_canonical(FR, p_)
+        z_m = fl.from_canonical(FR, z_)
+        y_m, _, _ = _eval_barycentric.__wrapped__(poly_m, z_m, r_)
+        return fl.to_canonical(FR, y_m)
+
+    f = shard_map(
+        fn,
+        mesh=mesh,
+        check_rep=False,
+        in_specs=(P(None, "blobs", None), P(None, "blobs", None), P(None, None)),
+        out_specs=P(None, "blobs", None),
+    )
+    return jax.jit(f)(poly_limbs, z_limbs, roots_m)
+
+
+def _lincomb_program_sharded(mesh, px, py, pinf, scalars, c: int):
+    """Variable-base MSM family with the POINT axis (= blobs in batch
+    verification) sharded; per-shard partial sums are all-gathered over ICI
+    and reduced on every chip."""
+    from jax.experimental.shard_map import shard_map
+
+    P = _mesh_specs(mesh)
+    from .ops import pallas_msm
+
+    use_pallas = pallas_msm.enabled_for(mesh)
+
+    def fn(x_, y_, i_, sc_):
+        part = dmsm.msm_core(dg1.G1Aff(x_, y_, i_), sc_, c, use_pallas=use_pallas)
+        gathered = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, "blobs", axis=a.ndim, tiled=False),
+            part,
+        )
+        full = dg1.tree_reduce(dg1.G1XYZZ(*gathered), unroll=True)
+        return dg1.G1XYZZ(*(a[..., 0] for a in full))
+
+    f = shard_map(
+        fn,
+        mesh=mesh,
+        check_rep=False,
+        in_specs=(
+            P(None, None, "blobs"),
+            P(None, None, "blobs"),
+            P(None, "blobs"),
+            P(None, None, "blobs"),
+        ),
+        out_specs=dg1.G1XYZZ(*([P(None, None)] * 4)),
+    )
+    out = jax.jit(f)(px, py, pinf, scalars)
+    return jax.jit(dg1.to_affine)(out)
+
+
+# ---------------------------------------------------------------------------
 # Host <-> device glue
 # ---------------------------------------------------------------------------
 
@@ -221,11 +323,22 @@ def blob_to_kzg_commitment(blob_bytes: bytes, s: DeviceKZGSettings) -> bytes:
 
 
 def blob_to_kzg_commitment_batch(
-    blobs: Sequence[bytes], s: DeviceKZGSettings
+    blobs: Sequence[bytes], s: DeviceKZGSettings, mesh=None
 ) -> List[bytes]:
     """Commit to many blobs with ONE fused fixed-base MSM family per chunk
-    (parity: blob_to_kzg_commitment_rust, eip_4844.rs:278-295)."""
+    (parity: blob_to_kzg_commitment_rust, eip_4844.rs:278-295).
+
+    mesh: optional jax.sharding.Mesh with a "blobs" axis -- the blob batch
+    shards across chips and each chip runs its own commitment MSMs (the
+    multi-chip analog of the reference's per-core chunking)."""
     t = s.lagrange_table
+    if mesh is not None:
+        n_dev = mesh.shape["blobs"]
+        blobs = list(blobs)
+        pad = (-len(blobs)) % n_dev
+        scalars = _commit_scalars(blobs + [blobs[0]] * pad)
+        aff = _commit_program_sharded(mesh, t, scalars)
+        return native.g1_compress_batch(dg1.affine_to_ints(aff)[: len(blobs)])
     pts: List = []
     for chunk in _chunks(list(blobs)):
         scalars = _commit_scalars(chunk)  # (16, B, 4096) canonical
@@ -336,6 +449,7 @@ def verify_blob_kzg_proof_batch(
     commitments_bytes: Sequence[bytes],
     proofs_bytes: Sequence[bytes],
     s: DeviceKZGSettings,
+    mesh=None,
 ) -> bool:
     """Batch verification: device does the 64 barycentric evals and the three
     size-n MSMs (fused into one sort+scan); host does hashes and the single
@@ -365,7 +479,10 @@ def verify_blob_kzg_proof_batch(
     # evals are field-only (no MSM working set): one program for all blobs
     poly = jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1))
     zl = jnp.asarray(fl.ints_to_limbs(zs, FR.n_limbs))[:, :, None]
-    ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))
+    if mesh is not None and n % mesh.shape["blobs"] == 0:
+        ys = _y_to_ints(_eval_program_sharded(mesh, poly, zl, s.roots_brp_mont))
+    else:
+        ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
 
@@ -387,7 +504,12 @@ def verify_blob_kzg_proof_batch(
         axis=1,
     )
     c_win = dmsm.default_window(n, fixed_base=False)
-    aff = _lincomb_program(pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win)
+    if mesh is not None and n % mesh.shape["blobs"] == 0:
+        aff = _lincomb_program_sharded(
+            mesh, pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win
+        )
+    else:
+        aff = _lincomb_program(pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win)
     proof_lincomb, proof_z_lincomb, c_lincomb = dg1.affine_to_ints(aff)
 
     ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R

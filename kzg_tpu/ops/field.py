@@ -11,7 +11,7 @@ Design (TPU-first, not a port):
     everything vectorizes over the batch on the VPU.
   - The column accumulator walks a (2L+1, batch) array with static slice
     updates, keeping the traced graph small; the same body runs inside
-    Pallas kernels (see pallas_field.py) with a VMEM scratch accumulator.
+    Pallas kernels (see pallas_msm.py) via the unrolled forms below.
 
 The reference delegates this layer to blst's C/assembly
 (/root/reference/blst/src/types/fr.rs, fp.rs); here it is the compute path
@@ -501,7 +501,7 @@ def mont_mul(spec: FieldSpec, a, b) -> jnp.ndarray:
     Loop-mode formulation: fori_loops over limb indices keep the traced graph
     at ~100 ops independent of L, so XLA compiles it quickly on every
     platform. The TPU hot path uses the Pallas kernels instead
-    (ops/pallas_field.py)."""
+    (ops/pallas_msm.py)."""
     L = spec.n_limbs
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (L,) + batch)

@@ -209,11 +209,14 @@ tiled_pallas_adds = _TiledPallasAdds
 
 def madd_unified(p: G1XYZZ, a: G1Aff) -> G1XYZZ:
     """Branchless mixed addition XYZZ + affine (madd-2008-s): 8M + 2S on the
-    main path, with the doubling fallback fused into the same rounds."""
-    d1, d2, d3, d4, dfin = _dbl_rounds(p)
-
-    out = fl.mul_many(FP, [(a.x, p.zz), (a.y, p.zzz)] + d1())
-    u2, s2 = out[:2]
+    main path. The P == Q fallback doubles the AFFINE operand (mdbl: ZZ3 and
+    ZZZ3 come out as V and W for free), which is 2 muls cheaper than fusing
+    the projective doubling of the accumulator -- if the x-coordinates
+    match with both points finite, 2a == 2P either way."""
+    U = _add(a.y, a.y)
+    u2, s2, V, xx = fl.mul_many(
+        FP, [(a.x, p.zz), (a.y, p.zzz), (U, U), (a.x, a.x)]
+    )
     pd = _sub(u2, p.x)
     r = _sub(s2, p.y)
 
@@ -224,19 +227,28 @@ def madd_unified(p: G1XYZZ, a: G1Aff) -> G1XYZZ:
     both = jnp.logical_and(jnp.logical_not(inf1), jnp.logical_not(inf2))
     need_dbl = jnp.logical_and(both, jnp.logical_and(x_eq, y_eq))
 
-    out = fl.mul_many(FP, [(pd, pd)] + d2(*out[2:]))
-    pp = out[0]
-    out = fl.mul_many(FP, [(pd, pp), (p.x, pp), (r, r)] + d3(*out[1:]))
-    ppp, q0, rr = out[:3]
-    x3 = _sub(_sub(rr, ppp), _add(q0, q0))
-    out = fl.mul_many(
-        FP,
-        [(r, _sub(q0, x3)), (p.y, ppp), (p.zz, pp), (p.zzz, ppp)] + d4(*out[3:]),
+    pp, W, Sd = fl.mul_many(FP, [(pd, pd), (U, V), (a.x, V)])
+    M = _add(_add(xx, xx), xx)
+    ppp, q0, rr, MM = fl.mul_many(
+        FP, [(pd, pp), (p.x, pp), (r, r), (M, M)]
     )
-    y3a, sppp, zz3, zzz3 = out[:4]
+    x3 = _sub(_sub(rr, ppp), _add(q0, q0))
+    x3d = _sub(MM, _add(Sd, Sd))
+    y3a, sppp, zz3, zzz3, msd, wy = fl.mul_many(
+        FP,
+        [
+            (r, _sub(q0, x3)),
+            (p.y, ppp),
+            (p.zz, pp),
+            (p.zzz, ppp),
+            (M, _sub(Sd, x3d)),
+            (W, a.y),
+        ],
+    )
     res = G1XYZZ(x3, _sub(y3a, sppp), zz3, zzz3)
+    dbl_res = G1XYZZ(x3d, _sub(msd, wy), V, W)
 
-    res = select_point(need_dbl, dfin(out[4]), res)
+    res = select_point(need_dbl, dbl_res, res)
     res = select_point(inf2, p, res)
     res = select_point(inf1, from_affine(a), res)
     return res
