@@ -382,11 +382,6 @@ def msm_core(
     # element e = (b, j, i): key = ((b * w + j) * (half + 1)) + bucket
     sign = digits < 0
     bucket = jnp.abs(digits)  # (w, nb, n)
-    yneg = fl.neg(FP, ys)
-    # broadcast points across windows: (L, w, nb, n)
-    ex = jnp.broadcast_to(xs[:, None], (FP.n_limbs, w, nb, n))
-    ey = jnp.where(sign[None], yneg[:, None], ys[:, None])
-    einf = jnp.broadcast_to(infs[None], (w, nb, n))
 
     seg = (
         jnp.arange(nb, dtype=jnp.int32)[None, :, None] * w
@@ -397,9 +392,20 @@ def msm_core(
     flat_keys = keys.reshape(E)
     order = jnp.argsort(flat_keys)
     sorted_keys = flat_keys[order]
-    px = ex.reshape(FP.n_limbs, E)[:, order]
-    py = ey.reshape(FP.n_limbs, E)[:, order]
-    pinf = einf.reshape(E)[order]
+    # gather from the window-broadcast view (XLA lowers the big-source
+    # single-index gather best on TPU; index-arithmetic gathers from the
+    # small point set measured slower)
+    yneg = fl.neg(FP, ys)
+    ex = jnp.broadcast_to(xs[:, None], (FP.n_limbs, w, nb, n)).reshape(
+        FP.n_limbs, E
+    )
+    ey = jnp.where(sign[None], yneg[:, None], ys[:, None]).reshape(
+        FP.n_limbs, E
+    )
+    einf = jnp.broadcast_to(infs[None], (w, nb, n)).reshape(E)
+    px = ex[:, order]
+    py = ey[:, order]
+    pinf = einf[order]
 
     n_keys = nb * w * (half + 1)
     from contextlib import nullcontext
@@ -525,22 +531,6 @@ def msm_fixed_core(
 
     L = FP.n_limbs
     tb = table.x.shape[2:-1]  # table's own batch dims
-    pad = (1,) * (len(batch) - len(tb))
-    tshape = lambda a, lead: lead + pad + tb + (n,)
-    tx = jnp.broadcast_to(
-        table.x.reshape(tshape(table.x, (L, w))), (L, w) + batch + (n,)
-    ).reshape(L, w, nb, n)
-    ty = jnp.broadcast_to(
-        table.y.reshape(tshape(table.y, (L, w))), (L, w) + batch + (n,)
-    ).reshape(L, w, nb, n)
-    tinf = jnp.broadcast_to(
-        table.inf.reshape(tshape(table.inf, (w,))), (w,) + batch + (n,)
-    ).reshape(w, nb, n)
-
-    tyneg = fl.neg(FP, ty)
-    ex = tx
-    ey = jnp.where(sign[None], tyneg, ty)
-    einf = tinf
 
     # key space: per-batch buckets (windows share buckets -- the table rows
     # already carry the 2^(c*j) factor)
@@ -551,9 +541,24 @@ def msm_fixed_core(
     flat_keys = keys.reshape(E)
     order = jnp.argsort(flat_keys)
     sorted_keys = flat_keys[order]
-    px = ex.reshape(FP.n_limbs, E)[:, order]
-    py = ey.reshape(FP.n_limbs, E)[:, order]
-    pinf = einf.reshape(E)[order]
+    # Gather from the window/batch-broadcast table view (XLA lowers the
+    # big-source single-index gather best on TPU; index-arithmetic gathers
+    # from the small table measured slower).
+    tshape = lambda lead: lead + (1,) * (len(batch) - len(tb)) + tb + (n,)
+    tx = jnp.broadcast_to(
+        table.x.reshape(tshape((L, w))), (L, w) + batch + (n,)
+    ).reshape(L, w, nb, n)
+    ty = jnp.broadcast_to(
+        table.y.reshape(tshape((L, w))), (L, w) + batch + (n,)
+    ).reshape(L, w, nb, n)
+    tinf = jnp.broadcast_to(
+        table.inf.reshape(tshape((w,))), (w,) + batch + (n,)
+    ).reshape(E)
+    tyneg = fl.neg(FP, ty)
+    ey = jnp.where(sign[None], tyneg, ty).reshape(L, E)
+    px = tx.reshape(L, E)[:, order]
+    py = ey[:, order]
+    pinf = tinf[order]
 
     from contextlib import nullcontext
 
