@@ -543,22 +543,31 @@ def msm_fixed_core(
     sorted_keys = flat_keys[order]
     # Gather from the window/batch-broadcast table view (XLA lowers the
     # big-source single-index gather best on TPU; index-arithmetic gathers
-    # from the small table measured slower).
+    # from the small table measured slower). The gather is random-access
+    # bandwidth bound, so both coordinates are PACKED two 16-bit limbs per
+    # u32 word first -- half the gathered bytes -- and unpacked after; the
+    # digit sign is applied to y post-gather.
     tshape = lambda lead: lead + (1,) * (len(batch) - len(tb)) + tb + (n,)
-    tx = jnp.broadcast_to(
-        table.x.reshape(tshape((L, w))), (L, w) + batch + (n,)
-    ).reshape(L, w, nb, n)
-    ty = jnp.broadcast_to(
-        table.y.reshape(tshape((L, w))), (L, w) + batch + (n,)
-    ).reshape(L, w, nb, n)
+
+    def pack(a):  # (L, w, *tb, n) -> broadcast packed (L/2, E)
+        p = a[0::2] | (a[1::2] << 16)
+        return jnp.broadcast_to(
+            p.reshape(tshape((L // 2, w))), (L // 2, w) + batch + (n,)
+        ).reshape(L // 2, E)
+
+    def unpack(g):  # (L/2, E') -> (L, E')
+        lo = g & jnp.uint32(0xFFFF)
+        hi = g >> 16
+        return jnp.stack([lo, hi], axis=1).reshape(L, g.shape[-1])
+
     tinf = jnp.broadcast_to(
         table.inf.reshape(tshape((w,))), (w,) + batch + (n,)
     ).reshape(E)
-    tyneg = fl.neg(FP, ty)
-    ey = jnp.where(sign[None], tyneg, ty).reshape(L, E)
-    px = tx.reshape(L, E)[:, order]
-    py = ey[:, order]
+    px = unpack(pack(table.x)[:, order])
+    py = unpack(pack(table.y)[:, order])
     pinf = tinf[order]
+    sign_s = sign.reshape(E)[order]
+    py = jnp.where(sign_s[None], fl.neg(FP, py), py)
 
     from contextlib import nullcontext
 

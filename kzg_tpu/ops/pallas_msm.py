@@ -249,7 +249,10 @@ def add_points_tiled(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
     return G1XYZZ(*res)
 
 
-_TILED_MIN_LANES = 1024
+# Above this batch size adds route to the kernel; below it the jnp path
+# wins. Small (loop-mode XLA point ops on tiny lanes are surprisingly slow
+# on TPU -- a padded 2048-lane kernel dispatch is ~0.12 ms flat).
+_TILED_MIN_LANES = 128
 
 
 def tiled_add_unified(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
