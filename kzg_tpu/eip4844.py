@@ -476,35 +476,51 @@ def verify_blob_kzg_proof_batch(
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
 
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
-    # evals are field-only (no MSM working set): one program for all blobs
-    poly = jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1))
-    zl = jnp.asarray(fl.ints_to_limbs(zs, FR.n_limbs))[:, :, None]
-    if mesh is not None and n % mesh.shape["blobs"] == 0:
-        ys = _y_to_ints(_eval_program_sharded(mesh, poly, zl, s.roots_brp_mont))
+    # evals are field-only (no MSM working set): one program for all blobs.
+    # The batch axis is padded to a power of two so arbitrary batch sizes
+    # reuse a handful of compiled programs (consensus vectors alone carry
+    # ~10 distinct counts).
+    npad = 1 << max(0, (n - 1)).bit_length()
+    poly = jnp.asarray(
+        np.stack(
+            [bs.blob_to_scalars(b) for b in blobs]
+            + [bs.blob_to_scalars(blobs[0])] * (npad - n),
+            axis=1,
+        )
+    )
+    zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
+        :, :, None
+    ]
+    if mesh is not None and npad % mesh.shape["blobs"] == 0:
+        ys = _y_to_ints(_eval_program_sharded(mesh, poly, zl, s.roots_brp_mont))[:n]
     else:
-        ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))
+        ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))[:n]
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
 
-    # two fused variable-base MSMs over [proofs | commitments]
-    pr = dg1.affine_from_ints(proofs)
-    cm = dg1.affine_from_ints(commitments)
+    # two fused variable-base MSMs over [proofs | commitments]; the point
+    # axis is padded to npad with identities (infinity points, 0 scalars)
+    # for compile-cache stability
+    pad_pts = [None] * (npad - n)
+    pr = dg1.affine_from_ints(proofs + pad_pts)
+    cm = dg1.affine_from_ints(commitments + pad_pts)
     pts = dg1.G1Aff(
         jnp.stack([pr.x, pr.x, cm.x], axis=1),
         jnp.stack([pr.y, pr.y, cm.y], axis=1),
         jnp.stack([pr.inf, pr.inf, cm.inf], axis=0),
     )
+    pad_sc = [0] * (npad - n)
     r_times_z = [r * z % R for r, z in zip(r_powers, zs)]
     sc = np.stack(
         [
-            fl.ints_to_limbs(r_powers, FR.n_limbs),
-            fl.ints_to_limbs(r_times_z, FR.n_limbs),
-            fl.ints_to_limbs(r_powers, FR.n_limbs),
+            fl.ints_to_limbs(list(r_powers) + pad_sc, FR.n_limbs),
+            fl.ints_to_limbs(r_times_z + pad_sc, FR.n_limbs),
+            fl.ints_to_limbs(list(r_powers) + pad_sc, FR.n_limbs),
         ],
         axis=1,
     )
-    c_win = dmsm.default_window(n, fixed_base=False)
-    if mesh is not None and n % mesh.shape["blobs"] == 0:
+    c_win = dmsm.default_window(npad, fixed_base=False)
+    if mesh is not None and npad % mesh.shape["blobs"] == 0:
         aff = _lincomb_program_sharded(
             mesh, pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win
         )

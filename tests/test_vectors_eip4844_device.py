@@ -97,6 +97,39 @@ def test_verify_blob_kzg_proof_batch(device_settings, all_vectors):
     _run("verify_blob_kzg_proof_batch", fn, all_vectors)
 
 
+def test_verify_kzg_proof(device_settings, all_vectors):
+    _run(
+        "verify_kzg_proof",
+        lambda inp: E.verify_kzg_proof(
+            unhex(inp["commitment"]),
+            unhex(inp["z"]),
+            unhex(inp["y"]),
+            unhex(inp["proof"]),
+            device_settings,
+        ),
+        all_vectors,
+    )
+
+
+def test_compute_challenge(device_settings, all_vectors):
+    failures = []
+    for name, inp, out in _iter("compute_challenge", all_vectors):
+        try:
+            from kzg_tpu import bytes as bs
+
+            blob, commitment = unhex(inp["blob"]), unhex(inp["commitment"])
+            bs.blob_to_scalars(blob)  # validate (raises like the reference)
+            if len(commitment) != 48:
+                raise ValueError("Invalid commitment length")
+            z = E.compute_challenge(blob, commitment)
+            ok = out is not None and z.to_bytes(32, "big") == unhex(out)
+        except (ValueError, KeyError):
+            ok = out is None
+        if not ok:
+            failures.append(name)
+    assert not failures, failures
+
+
 def test_commit_batch_consistency(device_settings):
     """Batched commitment path agrees with the single-blob path."""
     vecs = [

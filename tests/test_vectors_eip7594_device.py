@@ -35,6 +35,21 @@ def test_compute_cells_and_kzg_proofs(device_settings, all_vectors):
     assert not failures, failures
 
 
+def test_compute_cells(device_settings, all_vectors):
+    failures = []
+    for name, inp, out in _mixed("compute_cells", 1, all_vectors):
+        try:
+            cells, _ = E.compute_cells_and_kzg_proofs(
+                unhex(inp["blob"]), device_settings, with_proofs=False
+            )
+            ok = out is not None and cells == [unhex(c) for c in out]
+        except (ValueError, KeyError):
+            ok = out is None
+        if not ok:
+            failures.append(name)
+    assert not failures, failures
+
+
 def test_recover_cells_and_kzg_proofs(device_settings, all_vectors):
     failures = []
     for name, inp, out in _mixed("recover_cells_and_kzg_proofs", 3, all_vectors):
