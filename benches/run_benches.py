@@ -87,8 +87,10 @@ def main():
     def fence(out):
         # jax.block_until_ready does NOT fence execution through the remote
         # axon tunnel (PERF.md "Measurement integrity"); only a host
-        # read-back is an honest fence.
-        return [np.asarray(c) for c in jax.tree.leaves(out)]
+        # read-back is an honest fence. ONE concatenated transfer -- each
+        # separate read-back costs a full ~40 ms round trip.
+        leaves = [jnp.ravel(l).astype(jnp.uint32) for l in jax.tree.leaves(out)]
+        return np.asarray(leaves[0] if len(leaves) == 1 else jnp.concatenate(leaves))
 
     # micro: MSM at the reference's default size
     npow = int(os.environ.get("BENCH_NPOW", "12"))

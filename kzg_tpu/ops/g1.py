@@ -382,11 +382,28 @@ def affine_from_ints(points) -> G1Aff:
 
 
 def affine_to_ints(a: G1Aff):
-    """Device affine batch -> list of oracle affine points."""
-    xs = FP.decode(a.x)
-    ys = FP.decode(a.y)
-    infs = np.asarray(a.inf).reshape(-1)
+    """Device affine batch -> list of oracle affine points.
+
+    All three components come back in ONE host transfer (each read-back
+    through a remote-attached device costs a full round trip)."""
+    L = FP.n_limbs
+    if hasattr(a.x, "devices"):  # device arrays: fuse the read-back
+        packed = np.asarray(
+            _pack_affine_jit(a.x, a.y, a.inf)
+        )  # (2L+1, *batch)
+        xs = FP.decode(packed[:L])
+        ys = FP.decode(packed[L : 2 * L])
+        infs = packed[2 * L].reshape(-1) != 0
+    else:
+        xs = FP.decode(a.x)
+        ys = FP.decode(a.y)
+        infs = np.asarray(a.inf).reshape(-1)
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+@jax.jit
+def _pack_affine_jit(x, y, inf):
+    return jnp.concatenate([x, y, inf.astype(jnp.uint32)[None]], axis=0)
 
 
 _to_affine_jit = None

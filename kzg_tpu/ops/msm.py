@@ -421,18 +421,26 @@ def msm_core(
         win = integrate_buckets(buckets)  # (L, nb, w, 1)
     win = G1XYZZ(*(cc[..., 0] for cc in win))  # (L, nb, w)
 
-    # Horner over windows, high to low: one traced (c doublings + add) body
-    acc0 = G1XYZZ(*(cc[..., w - 1] for cc in win))
+    # Horner over windows, high to low
+    if use_pallas and nb <= 1024:
+        # VMEM-resident doubling chain (the XLA loop form costs ~1 ms per
+        # tiny-lane doubling dispatch -- ~250 ms for the whole chain)
+        acc = pallas_msm.horner_windows(win, c)
+    else:
+        acc0 = G1XYZZ(*(cc[..., w - 1] for cc in win))
 
-    def horner_step(i, acc):
-        j = w - 2 - i
-        acc = _dbl_n(acc, c)
-        wj = G1XYZZ(
-            *(jax.lax.dynamic_index_in_dim(cc, j, cc.ndim - 1, False) for cc in win)
-        )
-        return g1.add_unified(acc, wj)
+        def horner_step(i, a):
+            j = w - 2 - i
+            a = _dbl_n(a, c)
+            wj = G1XYZZ(
+                *(
+                    jax.lax.dynamic_index_in_dim(cc, j, cc.ndim - 1, False)
+                    for cc in win
+                )
+            )
+            return g1.add_unified(a, wj)
 
-    acc = jax.lax.fori_loop(0, w - 1, horner_step, acc0)
+        acc = jax.lax.fori_loop(0, w - 1, horner_step, acc0)
     if batch:
         return G1XYZZ(*(cc.reshape((FP.n_limbs,) + batch) for cc in acc))
     return G1XYZZ(*(cc[..., 0] for cc in acc))

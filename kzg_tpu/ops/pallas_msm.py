@@ -265,6 +265,82 @@ def tiled_add_unified(p: G1XYZZ, q: G1XYZZ) -> G1XYZZ:
     return g1.add_unified_jnp(p, q)
 
 
+@lru_cache(maxsize=None)
+def _horner_call(w: int, c: int):
+    """Window combination acc = sum_j 2^(c*j) W_j as one kernel: the XLA
+    loop form pays ~255 dispatch-granular tiny-lane doublings (~1 ms each);
+    here the whole doubling chain stays VMEM-resident. Grid streams the
+    windows high-to-low; lanes are one (8, 128) tile (the nb batch is tiny
+    -- 1..3 MSMs -- and doublings don't vectorize across windows anyway)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = FP.n_limbs
+
+    def kernel(wx, wy, wzz, wzzz, ox, oy, ozz, ozzz, ax, ay, azz, azzz):
+        t = pl.program_id(0)
+        with fl.unrolled_ops():
+            win = G1XYZZ(wx[0], wy[0], wzz[0], wzzz[0])  # (L, 8, 128)
+            acc = G1XYZZ(ax[...], ay[...], azz[...], azzz[...])
+
+            def dstep(_, a):
+                return g1.dbl(a)
+
+            doubled = jax.lax.fori_loop(0, c, dstep, acc)
+            combined = g1.add_unified_jnp(doubled, win)
+            new = g1.select_point(
+                jnp.broadcast_to(t == 0, win.x.shape[1:]), win, combined
+            )
+            ax[...] = new.x
+            ay[...] = new.y
+            azz[...] = new.zz
+            azzz[...] = new.zzz
+            ox[...] = new.x
+            oy[...] = new.y
+            ozz[...] = new.zz
+            ozzz[...] = new.zzz
+
+    # stream windows HIGH to LOW: grid step t reads window w-1-t
+    spec = lambda: pl.BlockSpec(
+        (1, L, 8, 128), lambda t: (w - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = os.environ.get("KZG_TPU_PALLAS_INTERPRET", "0") == "1"
+
+    @jax.jit
+    def call(wx, wy, wzz, wzzz):
+        # inputs (w, L, 8, 128)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((L, 8, 128), jnp.uint32)] * 4,
+            grid=(w,),
+            in_specs=[spec()] * 4,
+            out_specs=[ospec] * 4,
+            scratch_shapes=[pltpu.VMEM((L, 8, 128), jnp.uint32)] * 4,
+            interpret=interpret,
+        )(wx, wy, wzz, wzzz)
+        return G1XYZZ(*outs)
+
+    return call
+
+
+def horner_windows(win: G1XYZZ, c: int) -> G1XYZZ:
+    """acc = sum_j 2^(c*j) * win[..., j] over the last axis via the
+    VMEM-resident doubling-chain kernel. win leaves: (L, nb, w)."""
+    L = FP.n_limbs
+    nb = win.x.shape[1]
+    w = win.x.shape[2]
+    lanes = 8 * 128
+    assert nb <= lanes, "horner kernel supports up to 1024 lanes"
+
+    def prep(a):  # (L, nb, w) -> (w, L, 8, 128)
+        a = jnp.pad(a, ((0, 0), (0, lanes - nb), (0, 0)))
+        return a.transpose(2, 0, 1).reshape(w, L, 8, 128)
+
+    out = _horner_call(w, c)(*(prep(a) for a in win))
+    return G1XYZZ(*(a.reshape(L, lanes)[:, :nb] for a in out))
+
+
 def seg_scan_phase1(aff_x, aff_y, aff_inf, first) -> G1XYZZ:
     """Within-chunk inclusive segmented scan, Pallas-fused.
 
