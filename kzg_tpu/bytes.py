@@ -70,6 +70,22 @@ def blob_to_scalars(blob_bytes: bytes) -> np.ndarray:
     return limbs
 
 
+def blobs_to_scalars(blobs) -> np.ndarray:
+    """Many validated blobs -> (16, B, 4096) canonical limbs in ONE numpy
+    pass (per-blob loops cost ~1.5 ms each at batch-verify sizes)."""
+    for b in blobs:
+        if len(b) != BYTES_PER_BLOB:
+            raise ValueError(
+                f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+                f"got {len(b)}"
+            )
+    limbs, ok = frs_from_bytes(b"".join(blobs))
+    if not ok.all():
+        raise ValueError("Invalid blob: scalar is not canonical")
+    n = BYTES_PER_BLOB // BYTES_PER_FIELD_ELEMENT
+    return limbs.reshape(FR_LIMBS, len(blobs), n)
+
+
 def fr_from_bytes(b32: bytes) -> np.ndarray:
     """One 32-byte scalar -> (16, 1) canonical limbs; raises if >= r."""
     if len(b32) != BYTES_PER_FIELD_ELEMENT:

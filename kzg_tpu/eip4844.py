@@ -127,6 +127,21 @@ def _prove_program(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
     return dg1.to_affine(proofs), fl.to_canonical(FR, y_m)
 
 
+@partial(jax.jit, static_argnames=("c",))
+def _prove_program_packed(polyz, roots_m, tab_x, tab_y, tab_inf, c: int):
+    """One-upload / one-download prove step for the remote-attached chip:
+    polyz = [poly | z] concatenated on the last axis (16, B, 4097); returns
+    (2L+1+16, B) packed [proof.x | proof.y | inf | y]."""
+    poly_limbs = polyz[..., :-1]
+    z_limbs = polyz[..., -1:]
+    aff, y = _prove_program.__wrapped__(
+        poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c
+    )
+    return jnp.concatenate(
+        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None], y[..., 0]], axis=0
+    )
+
+
 @jax.jit
 def _eval_program(poly_limbs, z_limbs, roots_m):
     """blob limbs + z limbs -> y canonical (16, B, 1)."""
@@ -251,12 +266,11 @@ def _lincomb_program_sharded(mesh, px, py, pinf, scalars, c: int):
 
 def _blobs_to_poly_mont(blobs: Sequence[bytes]) -> jnp.ndarray:
     """Validated blobs -> (16, B, 4096) Montgomery device array."""
-    limbs = np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1)
-    return fl.from_canonical_jit(FR, jnp.asarray(limbs))
+    return fl.from_canonical_jit(FR, jnp.asarray(bs.blobs_to_scalars(blobs)))
 
 
 def _commit_scalars(blobs: Sequence[bytes]) -> jnp.ndarray:
-    return jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1))
+    return jnp.asarray(bs.blobs_to_scalars(blobs))
 
 
 def _points_to_bytes(p: dg1.G1XYZZ) -> List[bytes]:
@@ -351,13 +365,27 @@ def compute_kzg_proof(
     blob_bytes: bytes, z_bytes: bytes, s: DeviceKZGSettings
 ) -> Tuple[bytes, bytes]:
     z = bs.fr_from_bytes(z_bytes)  # (16, 1)
-    poly = jnp.asarray(np.stack([bs.blob_to_scalars(blob_bytes)], axis=1))
     t = s.lagrange_table
-    aff, y = _prove_program(
-        poly, jnp.asarray(z)[:, None, :], s.roots_brp_mont, t.x, t.y, t.inf, t.c
+    # one upload ([poly | z] concatenated) and one download (packed
+    # proof+y): each separate transfer through a remote-attached chip costs
+    # a full round trip
+    polyz = np.concatenate(
+        [bs.blob_to_scalars(blob_bytes)[:, None, :], z[:, None, :]], axis=-1
     )
-    proof = native.g1_compress_batch(dg1.affine_to_ints(aff))[0]
-    return proof, bs.frs_to_bytes(np.asarray(y)[:, 0, :])
+    packed = np.asarray(
+        _prove_program_packed(
+            jnp.asarray(polyz), s.roots_brp_mont, t.x, t.y, t.inf, t.c
+        )
+    )
+    from .ops.field import FP
+
+    L = FP.n_limbs
+    xs = FP.decode(packed[:L])
+    ys = FP.decode(packed[L : 2 * L])
+    inf = packed[2 * L, 0] != 0
+    pt = None if inf else (xs[0], ys[0])
+    proof = native.g1_compress_batch([pt])[0]
+    return proof, bs.frs_to_bytes(packed[2 * L + 1 :, :1])
 
 
 def compute_blob_kzg_proof(
@@ -379,7 +407,7 @@ def compute_blob_kzg_proof_batch(
     pts: List = []
     for lo in range(0, len(blobs), BATCH_CHUNK):
         chunk = list(blobs)[lo : lo + BATCH_CHUNK]
-        poly = jnp.asarray(np.stack([bs.blob_to_scalars(b) for b in chunk], axis=1))
+        poly = jnp.asarray(bs.blobs_to_scalars(chunk))
         zl = jnp.asarray(
             fl.ints_to_limbs(zs[lo : lo + BATCH_CHUNK], FR.n_limbs)
         )[:, :, None]
@@ -437,7 +465,7 @@ def verify_blob_kzg_proof(
         raise ValueError("Invalid commitment/proof length")
     commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     z = compute_challenge(blob_bytes, commitment_bytes)
-    poly = jnp.asarray(np.stack([bs.blob_to_scalars(blob_bytes)], axis=1))
+    poly = jnp.asarray(bs.blobs_to_scalars([blob_bytes]))
     zl = jnp.asarray(fl.ints_to_limbs([z], FR.n_limbs))[:, :, None]
     y_can = _eval_program(poly, zl, s.roots_brp_mont)
     y = _y_to_ints(y_can)[0]
@@ -482,11 +510,7 @@ def verify_blob_kzg_proof_batch(
     # ~10 distinct counts).
     npad = 1 << max(0, (n - 1)).bit_length()
     poly = jnp.asarray(
-        np.stack(
-            [bs.blob_to_scalars(b) for b in blobs]
-            + [bs.blob_to_scalars(blobs[0])] * (npad - n),
-            axis=1,
-        )
+        bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
     )
     zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
         :, :, None

@@ -261,8 +261,7 @@ def compute_cells_and_kzg_proofs_batch(
     blobs: Sequence[bytes], s: DeviceKZGSettings, with_proofs: bool = True
 ):
     """(parity: DAS::compute_cells_and_kzg_proofs, das.rs:244-292)"""
-    limbs = np.stack([bs.blob_to_scalars(b) for b in blobs], axis=1)
-    blob_m = fl.from_canonical_jit(FR, jnp.asarray(limbs))
+    blob_m = fl.from_canonical_jit(FR, jnp.asarray(bs.blobs_to_scalars(blobs)))
     cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
     cells_np = np.asarray(cells_can)
     all_cells = []
