@@ -245,3 +245,24 @@ def g1_add(p: Affine, q: Affine) -> Affine:
     if rc < 0:
         raise ValueError("g1_add: malformed input")
     return None if rc == 1 else _xy_to_point(out.raw, 0)
+
+
+def eval_barycentric_4096(
+    blob_bytes: bytes, z_bytes: bytes, roots_brp_bytes: bytes
+):
+    """Host barycentric evaluation of one blob at z over the bit-reversed
+    4096-root domain (parity: evaluate_polynomial_in_evaluation_form,
+    eip_4844.rs:954-1003). Returns the 32-byte big-endian y, or None if the
+    native library is unavailable. Raises ValueError on a non-canonical
+    scalar."""
+    if _lib is None:
+        return None
+    out = ctypes.create_string_buffer(32)
+    rc = _lib.kzgn_eval_barycentric_4096(
+        blob_bytes, z_bytes, roots_brp_bytes, out
+    )
+    if rc == -1:
+        raise ValueError("Invalid scalar: not canonical")
+    if rc != 0:
+        return None
+    return out.raw

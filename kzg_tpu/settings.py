@@ -98,6 +98,16 @@ class DeviceKZGSettings:
         r = 1 << (16 * FR.n_limbs)
         return jnp.asarray(ints_to_limbs([v * r % R for v in roots], FR.n_limbs))
 
+    @cached_property
+    def roots_brp_mont_bytes(self) -> bytes:
+        """Bit-reversed 4096 roots as raw little-endian Montgomery limbs,
+        the format the native host barycentric evaluator takes."""
+        rmont = 1 << 256
+        return b"".join(
+            (v * rmont % R).to_bytes(32, "little")
+            for v in self.oracle.fft.brp_roots_of_unity[:FIELD_ELEMENTS_PER_BLOB]
+        )
+
     @property
     def n(self) -> int:
         return FIELD_ELEMENTS_PER_BLOB

@@ -1455,6 +1455,194 @@ static Fp12 final_exponentiation(const Fp12 &f) {
 }
 
 // ---------------------------------------------------------------------------
+// Fr: 4x64-bit Montgomery scalar field + host barycentric evaluation
+// (parity: evaluate_polynomial_in_evaluation_form, eip_4844.rs:954-1003 --
+// the single-blob verify path is latency-bound, so the 4096-element eval
+// runs here instead of paying a device round trip)
+// ---------------------------------------------------------------------------
+
+struct Fr {
+    uint64_t l[4];
+};
+
+static inline bool fr_is_zero(const Fr &a) {
+    return (a.l[0] | a.l[1] | a.l[2] | a.l[3]) == 0;
+}
+static inline bool fr_eq(const Fr &a, const Fr &b) {
+    uint64_t r = 0;
+    for (int i = 0; i < 4; i++) r |= a.l[i] ^ b.l[i];
+    return r == 0;
+}
+
+static void fr_mul(Fr &r, const Fr &a, const Fr &b) {
+    uint64_t t[6] = {0};
+    for (int i = 0; i < 4; i++) {
+        uint64_t carry = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)a.l[j] * b.l[i] + t[j] + carry;
+            t[j] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (uint64_t)s;
+        t[5] = (uint64_t)(s >> 64);
+        uint64_t m = t[0] * FR_N0INV;
+        u128 s2 = (u128)m * R_LIMBS[0] + t[0];
+        carry = (uint64_t)(s2 >> 64);
+        for (int j = 1; j < 4; j++) {
+            s2 = (u128)m * R_LIMBS[j] + t[j] + carry;
+            t[j - 1] = (uint64_t)s2;
+            carry = (uint64_t)(s2 >> 64);
+        }
+        s2 = (u128)t[4] + carry;
+        t[3] = (uint64_t)s2;
+        t[4] = t[5] + (uint64_t)(s2 >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || geq(t, R_LIMBS, 4)) {
+        sub_limbs(r.l, t, R_LIMBS, 4);
+    } else {
+        memcpy(r.l, t, 32);
+    }
+}
+
+static inline void fr_add(Fr &r, const Fr &a, const Fr &b) {
+    uint64_t t[4], carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        t[i] = (uint64_t)s;
+        carry = (uint64_t)(s >> 64);
+    }
+    if (carry || geq(t, R_LIMBS, 4)) sub_limbs(r.l, t, R_LIMBS, 4);
+    else memcpy(r.l, t, 32);
+}
+
+static inline void fr_sub(Fr &r, const Fr &a, const Fr &b) {
+    uint64_t t[4], borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a.l[i] - b.l[i] - borrow;
+        t[i] = (uint64_t)s;
+        borrow = ((uint64_t)(s >> 64)) & 1;
+    }
+    if (borrow) {
+        uint64_t carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)t[i] + R_LIMBS[i] + carry;
+            r.l[i] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+    } else {
+        memcpy(r.l, t, 32);
+    }
+}
+
+static Fr fr_one_mont() {
+    Fr r;
+    memcpy(r.l, FR_ONE_MONT, 32);
+    return r;
+}
+
+static void fr_pow(Fr &r, const Fr &a, const uint64_t *e, int nl) {
+    Fr acc = fr_one_mont();
+    int top = nl * 64 - 1;
+    while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+        fr_mul(acc, acc, acc);
+        if ((e[i / 64] >> (i % 64)) & 1) fr_mul(acc, acc, a);
+    }
+    r = acc;
+}
+
+static void fr_inv(Fr &r, const Fr &a) { fr_pow(r, a, FR_R_MINUS_2, 4); }
+
+// 32-byte big-endian canonical -> Montgomery; false if >= r
+static bool fr_from_be(Fr &r, const uint8_t *be) {
+    uint64_t t[4];
+    for (int i = 0; i < 4; i++) {
+        uint64_t v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | be[(3 - i) * 8 + j];
+        t[i] = v;
+    }
+    if (geq(t, R_LIMBS, 4)) return false;
+    Fr raw;
+    memcpy(raw.l, t, 32);
+    Fr r2;
+    memcpy(r2.l, FR_R2, 32);
+    fr_mul(r, raw, r2);
+    return true;
+}
+
+static void fr_to_be(uint8_t *be, const Fr &a) {
+    Fr one_raw;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+    Fr canon;
+    fr_mul(canon, a, one_raw);  // Montgomery reduce
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 8; j++)
+            be[(3 - i) * 8 + j] = (uint8_t)(canon.l[i] >> (56 - 8 * j));
+}
+
+// Barycentric evaluation of a blob at z over the bit-reversed 4096-root
+// domain: y = (z^n - 1)/n * sum_i p_i r_i / (z - r_i), with the in-domain
+// short-circuit. All inputs canonical big-endian; roots are the SAME brp
+// table the device path uses (bit-exact by construction).
+// Returns 0 ok, -1 bad scalar.
+extern "C" int kzgn_eval_barycentric_4096(const uint8_t *blob_be, const uint8_t *z_be,
+                               const uint8_t *roots_brp_be, uint8_t *y_out) {
+    const int n = 4096;
+    static thread_local Fr poly[4096], roots[4096], diff[4096], pref[4096];
+    Fr z;
+    if (!fr_from_be(z, z_be)) return -1;
+    // roots arrive as raw little-endian MONTGOMERY limbs (cached on the
+    // Python settings object) -- no per-call conversion
+    memcpy(roots, roots_brp_be, 32 * n);
+    for (int i = 0; i < n; i++) {
+        if (!fr_from_be(poly[i], blob_be + 32 * i)) return -1;
+    }
+    // in-domain check
+    for (int i = 0; i < n; i++) {
+        if (fr_eq(z, roots[i])) {
+            fr_to_be(y_out, poly[i]);
+            return 0;
+        }
+    }
+    // batch inversion of (z - r_i), Montgomery trick
+    for (int i = 0; i < n; i++) fr_sub(diff[i], z, roots[i]);
+    pref[0] = diff[0];
+    for (int i = 1; i < n; i++) fr_mul(pref[i], pref[i - 1], diff[i]);
+    Fr acc;
+    fr_inv(acc, pref[n - 1]);
+    Fr y;
+    memset(&y, 0, sizeof y);
+    for (int i = n - 1; i >= 1; i--) {
+        Fr invd;
+        fr_mul(invd, acc, pref[i - 1]);  // 1/diff[i]
+        fr_mul(acc, acc, diff[i]);
+        Fr term;
+        fr_mul(term, poly[i], roots[i]);
+        fr_mul(term, term, invd);
+        fr_add(y, y, term);
+    }
+    Fr term0;
+    fr_mul(term0, poly[0], roots[0]);
+    fr_mul(term0, term0, acc);  // acc == 1/diff[0]
+    fr_add(y, y, term0);
+    // * (z^n - 1) / n
+    Fr zp = z;
+    for (int k = 0; k < 12; k++) fr_mul(zp, zp, zp);
+    Fr one = fr_one_mont();
+    Fr fac;
+    fr_sub(fac, zp, one);
+    fr_mul(y, y, fac);
+    Fr invn;
+    memcpy(invn.l, FR_INV4096_MONT, 32);
+    fr_mul(y, y, invn);
+    fr_to_be(y_out, y);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // SHA-256 (own implementation; FIPS 180-4)
 // ---------------------------------------------------------------------------
 
