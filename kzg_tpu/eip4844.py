@@ -416,23 +416,16 @@ def compute_blob_kzg_proof_batch(
     return native.g1_compress_batch(pts)
 
 
-def _g2_neg(pt):
-    if pt is None:
-        return None
-    from .constants import P_MOD as P
-
-    x, y = pt
-    return (x, ((P - y[0]) % P, (P - y[1]) % P))
-
-
 def _check_proof_single(s: DeviceKZGSettings, commitment, proof, z: int, y: int) -> bool:
-    """e(C - [y]_1, H) == e(proof, [s - z]_2), native host ops
-    (parity: check_proof_single, blst/src/types/kzg_settings.rs:178-196)."""
-    x_g2 = native.g2_mul(G2_GENERATOR, z)
-    s_minus_x = native.g2_add(s.oracle.g2_monomial[1], _g2_neg(x_g2))
+    """Same check as the reference's e(C - [y]_1, H) == e(proof, [s - z]_2)
+    (check_proof_single, blst/src/types/kzg_settings.rs:178-196), rearranged
+    as e(C - [y]_1 + z*proof, H) == e(proof, [s]_2) so the variable scalar
+    lands on the G1 side: a G1 mul is ~3x cheaper than the G2 mul and both
+    G2 pairing arguments become fixed points."""
     y_g1 = native.g1_mul(G1_GENERATOR, y)
-    c_minus_y = native.g1_add(commitment, G1.affine_neg(y_g1))
-    return native.pairings_verify(c_minus_y, G2_GENERATOR, proof, s_minus_x)
+    z_pi = native.g1_mul(proof, z)
+    lhs = native.g1_add(native.g1_add(commitment, G1.affine_neg(y_g1)), z_pi)
+    return native.pairings_verify(lhs, G2_GENERATOR, proof, s.oracle.g2_monomial[1])
 
 
 def verify_kzg_proof(

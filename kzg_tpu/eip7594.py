@@ -27,11 +27,7 @@ from .constants import (
     R_MOD as R,
     RECOVERY_SHIFT_FACTOR,
 )
-from .oracle.das import (
-    CELL_INDICES_RBL,
-    compute_vanishing_polynomial_from_roots,
-    _deduplicate_with_indices,
-)
+from .oracle.das import CELL_INDICES_RBL, _deduplicate_with_indices
 from .oracle.eip4844 import compute_powers
 from .oracle.curve import G2_GENERATOR
 from .ops import field as fl
@@ -70,6 +66,30 @@ def _column_tables(s: DeviceKZGSettings) -> dmsm.FixedBaseTable:
     return s._col_tables
 
 
+def _interp_consts(s: DeviceKZGSettings):
+    """Cached device constants for verify_cell_kzg_proof_batch: the
+    per-column inverse coset-shift power table (static per setup -- 8K host
+    bigint pows otherwise paid on every call) and the 64-point slice of the
+    monomial fixed-base table."""
+    if not hasattr(s, "_interp_cache"):
+        roots = s.oracle.fft.roots_of_unity
+        inv_shifts = np.zeros((FR.n_limbs, K2, CELL), dtype=np.uint32)
+        for col in range(K2):
+            inv_factor = roots[N_EXT - CELL_INDICES_RBL[col]]
+            inv_shifts[:, col, :] = _mont_const_vector(
+                tuple(pow(inv_factor, k, R) for k in range(CELL))
+            )
+        mono = s.monomial_table
+        sub = (
+            mono.x[..., :CELL],
+            mono.y[..., :CELL],
+            mono.inf[..., :CELL],
+            mono.c,
+        )
+        s._interp_cache = (jnp.asarray(inv_shifts), sub)
+    return s._interp_cache
+
+
 def _batch_challenge_bytes(
     commitments_bytes, commitment_indices, cell_indices, cells_bytes, proofs_bytes
 ) -> int:
@@ -102,8 +122,7 @@ def _batch_challenge_bytes(
     return hash_to_bls_field(hashlib.sha256(bytes(data)).digest())
 
 
-@jax.jit
-def _agg_cells_kernel(cells_m_canon, r_limbs, onehot):
+def _agg_cells_core(cells_m_canon, r_limbs, onehot):
     """Per-column r-weighted cell sums, all in Fr on device.
 
     cells_m_canon: (16, count, 64) canonical limbs; r_limbs: (16, count, 1)
@@ -173,17 +192,9 @@ def _cells_kernel(blob_m: jnp.ndarray) -> jnp.ndarray:
     return fl.to_canonical(FR, ext)
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def _fk20_core(
-    poly_m: jnp.ndarray,
-    tab_x: jnp.ndarray,
-    tab_y: jnp.ndarray,
-    tab_inf: jnp.ndarray,
-    c: int,
-) -> dg1.G1XYZZ:
+def _fk20_body(poly_m: jnp.ndarray, table: dmsm.FixedBaseTable) -> dg1.G1XYZZ:
     """FK20 proofs for monomial polys (16, B, 8192) -> XYZZ (…, B, 128) in
     bit-reversed order (parity: compute_fk20_proofs, das.rs:660-696)."""
-    table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
     B = poly_m.shape[1]
     idx, mask = _toeplitz_gather(N, CELL)
     base = poly_m[:, :, :N]
@@ -205,13 +216,23 @@ def _fk20_core(
     )
 
 
-def _fk20_proofs_jit(poly_m: jnp.ndarray, s: DeviceKZGSettings) -> dg1.G1XYZZ:
-    t = _column_tables(s)
-    return _fk20_core(poly_m, t.x, t.y, t.inf, t.c)
+@functools.partial(jax.jit, static_argnames=("c",))
+def _cells_proofs_kernel(blob_m, tab_x, tab_y, tab_inf, c):
+    """compute_cells_and_kzg_proofs as ONE device program: the extension
+    FFT and the FK20 pipeline share one lagrange->monomial conversion, and
+    the proofs come back affine (batch inverse in-graph) so the host does a
+    single read-back pair."""
+    poly = _lagrange_to_monomial(blob_m)
+    padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
+    ext = dfft(padded)
+    cells = fl.to_canonical(
+        FR, jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+    )
+    proofs = _fk20_body(padded, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c))
+    return cells, dg1.to_affine(proofs)
 
 
-@jax.jit
-def _recover_kernel(
+def _recover_core(
     cells_brp_m: jnp.ndarray,
     missing_mask: jnp.ndarray,
     vanish_coeff_m: jnp.ndarray,
@@ -245,6 +266,43 @@ def _recover_kernel(
     return dfft(recon_coeff), recon_coeff
 
 
+@functools.partial(jax.jit, static_argnames=("c",))
+def _recover_proofs_kernel(
+    cells_m, missing_mask, miss_roots, miss_valid, shift, unshift,
+    tab_x, tab_y, tab_inf, c,
+):
+    """recover_cells_and_kzg_proofs as ONE device program: the short
+    vanishing polynomial of the missing cells builds on device (ops/poly
+    tree product -- role parity zero_poly.rs via das.rs:519-547), erasure
+    recovery feeds the FK20 pipeline directly (the recovered coefficients
+    ARE the monomial poly -- no FFT roundtrip), proofs come back affine."""
+    from .ops import poly as dpoly
+
+    mm = miss_roots.shape[-1]
+    short = dpoly.vanishing_poly(miss_roots[:, None, :], miss_valid[None])
+    vanish_m = jnp.zeros((FR.n_limbs, 1, N_EXT), jnp.uint32)
+    vanish_m = vanish_m.at[..., : mm * CELL + 1 : CELL].set(short)
+    natural_eval, recon_coeff = _recover_core(
+        cells_m, missing_mask, vanish_m, shift, unshift
+    )
+    wire = jnp.take(natural_eval, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+    cells_can = fl.to_canonical(FR, wire)
+    proofs = _fk20_body(
+        recon_coeff, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    )
+    return cells_can, dg1.to_affine(proofs)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _wire_proofs_kernel(wire_m, tab_x, tab_y, tab_inf, c):
+    """FK20 proofs for an already-complete extended blob in wire (brp)
+    order, as one device program returning affine proofs."""
+    natural = jnp.take(wire_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+    poly = difft(natural)
+    proofs = _fk20_body(poly, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c))
+    return dg1.to_affine(proofs)
+
+
 # ---------------------------------------------------------------------------
 # Public API (raw bytes)
 # ---------------------------------------------------------------------------
@@ -262,7 +320,12 @@ def compute_cells_and_kzg_proofs_batch(
 ):
     """(parity: DAS::compute_cells_and_kzg_proofs, das.rs:244-292)"""
     blob_m = fl.from_canonical_jit(FR, jnp.asarray(bs.blobs_to_scalars(blobs)))
-    cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
+    if with_proofs:
+        t = _column_tables(s)
+        cells_can, aff = _cells_proofs_kernel(blob_m, t.x, t.y, t.inf, t.c)
+        aff_pts = dg1.affine_to_ints(aff)  # flattened (B*128)
+    else:
+        cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
     cells_np = np.asarray(cells_can)
     all_cells = []
     for b in range(len(blobs)):
@@ -272,10 +335,6 @@ def compute_cells_and_kzg_proofs_batch(
         )
     all_proofs = []
     if with_proofs:
-        poly = _lagrange_to_monomial(blob_m)
-        poly = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
-        proofs = _fk20_proofs_jit(poly, s)
-        aff_pts = dg1.xyzz_to_ints(proofs)  # flattened (B*128)
         for b in range(len(blobs)):
             all_proofs.append(
                 native.g1_compress_batch(aff_pts[b * K2 : (b + 1) * K2])
@@ -315,11 +374,18 @@ def recover_cells_and_kzg_proofs(
             raise ValueError("Invalid cell: scalar not canonical")
         cell_limbs[:, idx * CELL : (idx + 1) * CELL] = limbs
 
+    t = _column_tables(s)
     if len(provided) == K2:
-        recovered_m = fl.from_canonical_jit(FR, jnp.asarray(cell_limbs)[:, None, :])
-        # natural order for proof computation below
-        brp = jnp.take(recovered_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-        natural_m = brp
+        # nothing to recover: the output cells are the input cells; only the
+        # proofs need computing (one fused device program)
+        wire_m = fl.from_canonical_jit(FR, jnp.asarray(cell_limbs)[:, None, :])
+        aff = _wire_proofs_kernel(wire_m, t.x, t.y, t.inf, t.c)
+        raw = bs.frs_to_bytes(cell_limbs)
+        out_cells = [
+            raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)
+        ]
+        out_proofs = native.g1_compress_batch(dg1.affine_to_ints(aff))
+        return out_cells, out_proofs
     else:
         missing_cells = [
             reverse_bits_limited(K2, i) for i in range(K2) if i not in provided
@@ -328,15 +394,13 @@ def recover_cells_and_kzg_proofs(
             raise ValueError("Not enough cells")
         roots = s.oracle.fft.roots_of_unity
         stride = N_EXT // K2
-        short = compute_vanishing_polynomial_from_roots(
-            [roots[i * stride] for i in missing_cells]
-        )
-        vanish = np.zeros((FR.n_limbs, N_EXT), dtype=np.uint32)
-        vcoef = [0] * N_EXT
-        for i, cv in enumerate(short):
-            vcoef[i * CELL] = cv
-        vanish = fl.ints_to_limbs(vcoef, FR.n_limbs)
-        r_mont = 1 << (16 * FR.n_limbs)
+        # masked roots of the missing cells; the vanishing polynomial
+        # itself builds on device inside the fused kernel
+        mm = K2 // 2
+        mroots = [roots[i * stride] for i in missing_cells]
+        mvalid = np.zeros(mm, dtype=bool)
+        mvalid[: len(mroots)] = True
+        mroots += [0] * (mm - len(mroots))
 
         # missing element mask in NATURAL (brp-of-wire) order
         miss_cell_wire = np.ones(K2, dtype=bool)
@@ -347,33 +411,28 @@ def recover_cells_and_kzg_proofs(
 
         cells_nat = cell_limbs[:, brp_indices(N_EXT)]
         cells_m = fl.from_canonical_jit(FR, jnp.asarray(cells_nat)[:, None, :])
-        vanish_m = fl.from_canonical_jit(FR, jnp.asarray(vanish)[:, None, :])
         shift = jnp.asarray(_shift_powers(RECOVERY_SHIFT_FACTOR, N_EXT))
         unshift = jnp.asarray(
             _shift_powers(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT)
         )
-        natural_eval, _ = _recover_kernel(
+        cells_can, aff = _recover_proofs_kernel(
             cells_m,
             jnp.asarray(elem_missing_nat)[None],
-            vanish_m,
+            fl.from_canonical_jit(FR, jnp.asarray(fl.ints_to_limbs(mroots, FR.n_limbs))),
+            jnp.asarray(mvalid),
             shift,
             unshift,
+            t.x,
+            t.y,
+            t.inf,
+            t.c,
         )
-        natural_m = natural_eval
 
-    # cells out: wire order = brp of natural
-    wire = jnp.take(natural_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    cells_can = np.asarray(fl.to_canonical_jit(FR, wire))
-    raw = bs.frs_to_bytes(cells_can[:, 0, :])
+    raw = bs.frs_to_bytes(np.asarray(cells_can)[:, 0, :])
     out_cells = [
         raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)
     ]
-
-    # proofs over the recovered polynomial
-    poly = difft(natural_m)
-    proofs = _fk20_proofs_jit(poly, s)
-    proof_pts = dg1.xyzz_to_ints(proofs)
-    out_proofs = native.g1_compress_batch(proof_pts)
+    out_proofs = native.g1_compress_batch(dg1.affine_to_ints(aff))
     return out_cells, out_proofs
 
 
@@ -393,8 +452,7 @@ def recover_cells_and_kzg_proofs_batch(
     return out_cells, out_proofs
 
 
-@jax.jit
-def _interp_poly_kernel(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
+def _interp_poly_core(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
     """Aggregated column interpolation: per-column iFFT(64) then coset
     unshift (parity: das.rs:778-839). agg_m: (16, 128, 64) Montgomery in
     wire (brp) order per column; inv_shift_pows: (16, 128, 64)."""
@@ -402,6 +460,43 @@ def _interp_poly_kernel(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
     interp = difft(chunks)  # (16, 128, 64)
     shifted = fl.mont_mul(FR, interp, inv_shift_pows)
     return fl.sum_tree(FR, jnp.swapaxes(shifted, 1, 2))[..., 0]  # (16, 64)
+
+
+def _msm_auto(pts: dg1.G1Aff, sc: jnp.ndarray, use_pallas: bool) -> dg1.G1XYZZ:
+    """In-graph MSM with the same tiny-n ladder dispatch as dmsm.msm."""
+    n = pts.x.shape[-1]
+    if n < 8:
+        return dg1.G1XYZZ(*(c[..., 0] for c in dg1.msm_ladder(pts, sc)))
+    return dmsm.msm_core(pts, sc, dmsm.default_window(n, False), use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("c_fixed", "use_pallas"))
+def _verify_cell_kernel(
+    p2x, p2y, p2inf, sc2,
+    cmx, cmy, cminf, wts,
+    cells_stack, r_limbs, onehot, inv_shifts,
+    tabx, taby, tabinf, c_fixed, use_pallas,
+):
+    """The whole device side of verify_cell_kzg_proof_batch as ONE program
+    (remote-attached dispatch+transfer costs dominate multi-program paths):
+    the fused batch-2 proof MSM, the commitment-weight MSM, the aggregated
+    interpolation polynomial (cell aggregation + per-column iFFT + coset
+    unshift + fixed-base commit), returning all four result points as one
+    affine batch [proof_lincomb, weighted_proofs, final_sum, interp]."""
+    out2 = _msm_auto(dg1.G1Aff(p2x, p2y, p2inf), sc2, use_pallas)  # (L, 2)
+    fs = _msm_auto(dg1.G1Aff(cmx, cmy, cminf), wts, use_pallas)  # (L,)
+    agg_m = _agg_cells_core(cells_stack, r_limbs, onehot)
+    agg_poly = _interp_poly_core(agg_m, inv_shifts)
+    agg_scalars = fl.to_canonical(FR, agg_poly)
+    table = dmsm.FixedBaseTable(tabx, taby, tabinf, c_fixed)
+    interp = dmsm.msm_fixed_core(table, agg_scalars, use_pallas)  # (L,)
+    pts = dg1.G1XYZZ(
+        *(
+            jnp.concatenate([a, b[..., None], c[..., None]], axis=-1)
+            for a, b, c in zip(out2, fs, interp)
+        )
+    )
+    return dg1.to_affine(pts)
 
 
 def verify_cell_kzg_proof_batch(
@@ -454,15 +549,10 @@ def verify_cell_kzg_proof_batch(
     # padding: infinity points, zero scalars) for compile-cache stability.
     npad = 1 << max(0, (cell_count - 1)).bit_length()
     pad_k = npad - cell_count
-    # --- device MSM 1: proof lincomb + weighted proof sum, fused batch of 2
+    # proof lincomb + weighted proof sum, fused batch of 2
     h_pows = [roots[CELL_INDICES_RBL[ci] * CELL] for ci in cell_indices]
     weighted_r = [rp * hp % R for rp, hp in zip(r_powers, h_pows)]
     pr = dg1.affine_from_ints(proofs + [None] * pad_k)
-    pts2 = dg1.G1Aff(
-        jnp.stack([pr.x, pr.x], axis=1),
-        jnp.stack([pr.y, pr.y], axis=1),
-        jnp.stack([pr.inf, pr.inf], axis=0),
-    )
     sc2 = np.stack(
         [
             fl.ints_to_limbs(list(r_powers) + [0] * pad_k, FR.n_limbs),
@@ -470,26 +560,16 @@ def verify_cell_kzg_proof_batch(
         ],
         axis=1,
     )
-    out2 = dmsm.msm(pts2, jnp.asarray(sc2))
-    proof_lincomb, weighted_proofs = dg1.xyzz_to_ints(out2)
 
-    # --- weighted sum of commitments (das.rs:698-738)
+    # weighted sum of commitments (das.rs:698-738)
     nu = len(unique_commitments)
     upad = 1 << max(0, (nu - 1)).bit_length()
     weights = [0] * nu
     for i, ci in enumerate(commitment_indices):
         weights[ci] = (weights[ci] + r_powers[i]) % R
     cm = dg1.affine_from_ints(unique_commitments + [None] * (upad - nu))
-    final_sum = dg1.xyzz_to_ints(
-        dmsm.msm(
-            cm,
-            jnp.asarray(
-                fl.ints_to_limbs(weights + [0] * (upad - nu), FR.n_limbs)
-            ),
-        )
-    )[0]
 
-    # --- aggregated interpolation polynomial commitment: the per-column
+    # aggregated interpolation polynomial commitment: the per-column
     # r-weighted cell sums run on device (one mont-mul + masked tree-sum)
     # instead of O(cells x 64) host bigint ops (round-1 verdict weak #8)
     zpad = np.zeros((FR.n_limbs, pad_k, CELL), np.uint32)
@@ -508,20 +588,22 @@ def verify_cell_kzg_proof_batch(
             axis=1,
         )
     )  # (K2, npad)
-    agg_m = _agg_cells_kernel(cells_stack, r_limbs, onehot)  # (16, K2, 64) mont
-    inv_shifts = np.zeros((FR.n_limbs, K2, CELL), dtype=np.uint32)
-    for col in range(K2):
-        inv_factor = roots[N_EXT - CELL_INDICES_RBL[col]]
-        inv_shifts[:, col, :] = _mont_const_vector(
-            tuple(pow(inv_factor, k, R) for k in range(CELL))
-        )
-    agg_poly = _interp_poly_kernel(agg_m, jnp.asarray(inv_shifts))  # (16, 64) mont
-    agg_scalars = fl.to_canonical_jit(FR, agg_poly)
-    mono = s.monomial_table
-    sub_table = dmsm.FixedBaseTable(
-        mono.x[..., :CELL], mono.y[..., :CELL], mono.inf[..., :CELL], mono.c
+    inv_shifts, (tabx, taby, tabinf, c_fixed) = _interp_consts(s)
+
+    # ONE device program + ONE read-back for the whole batch
+    from .ops.pallas_msm import enabled as _pallas_enabled
+
+    aff = _verify_cell_kernel(
+        jnp.stack([pr.x, pr.x], axis=1),
+        jnp.stack([pr.y, pr.y], axis=1),
+        jnp.stack([pr.inf, pr.inf], axis=0),
+        jnp.asarray(sc2),
+        cm.x, cm.y, cm.inf,
+        jnp.asarray(fl.ints_to_limbs(weights + [0] * (upad - nu), FR.n_limbs)),
+        cells_stack, r_limbs, onehot, inv_shifts,
+        tabx, taby, tabinf, c_fixed, _pallas_enabled(),
     )
-    interp_commit = dg1.xyzz_to_ints(dmsm.msm_fixed(sub_table, agg_scalars))[0]
+    proof_lincomb, weighted_proofs, final_sum, interp_commit = dg1.affine_to_ints(aff)
 
     final_g1 = native.g1_add(final_sum, None)
     from .oracle.curve import G1

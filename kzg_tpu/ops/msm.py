@@ -36,6 +36,14 @@ from .field import FP, FR
 from .g1 import G1Aff, G1XYZZ
 
 
+def _row_gather() -> bool:
+    """Row-major (point-rows) coordinate gather layout; KZG_TPU_ROW_GATHER=0
+    falls back to the per-limb column gathers for A/B measurement."""
+    import os
+
+    return os.environ.get("KZG_TPU_ROW_GATHER", "1") == "1"
+
+
 def default_window(n: int, fixed_base: bool) -> int:
     """Window-size heuristic (cost model analog of
     /root/reference/kzg/src/msm/bgmw.rs:102-135). Segmented-scan work is
@@ -392,20 +400,36 @@ def msm_core(
     flat_keys = keys.reshape(E)
     order = jnp.argsort(flat_keys)
     sorted_keys = flat_keys[order]
-    # gather from the window-broadcast view (XLA lowers the big-source
-    # single-index gather best on TPU; index-arithmetic gathers from the
-    # small point set measured slower)
-    yneg = fl.neg(FP, ys)
-    ex = jnp.broadcast_to(xs[:, None], (FP.n_limbs, w, nb, n)).reshape(
-        FP.n_limbs, E
-    )
-    ey = jnp.where(sign[None], yneg[:, None], ys[:, None]).reshape(
-        FP.n_limbs, E
-    )
+    L = FP.n_limbs
     einf = jnp.broadcast_to(infs[None], (w, nb, n)).reshape(E)
-    px = ex[:, order]
-    py = ey[:, order]
     pinf = einf[order]
+    if _row_gather():
+        # pack x||y into (nb*n, L) u32 point rows (one linear pass over the
+        # small point set), gather 96-byte-contiguous rows, unpack, and
+        # apply the digit sign to y post-gather -- same rationale as the
+        # fixed-base path above.
+        def pack_rows(a):  # (L, nb, n) -> (nb*n, L/2)
+            p = a[0::2] | (a[1::2] << 16)
+            return p.reshape(L // 2, nb * n).T
+
+        rows = jnp.concatenate([pack_rows(xs), pack_rows(ys)], axis=1)
+        g = rows[order % (nb * n)].T  # (L, E)
+
+        def unpack(gg):
+            lo = gg & jnp.uint32(0xFFFF)
+            hi = gg >> 16
+            return jnp.stack([lo, hi], axis=1).reshape(L, gg.shape[-1])
+
+        px = unpack(g[: L // 2])
+        py = unpack(g[L // 2 :])
+        sign_s = sign.reshape(E)[order]
+        py = jnp.where(sign_s[None], fl.neg(FP, py), py)
+    else:
+        yneg = fl.neg(FP, ys)
+        ex = jnp.broadcast_to(xs[:, None], (L, w, nb, n)).reshape(L, E)
+        ey = jnp.where(sign[None], yneg[:, None], ys[:, None]).reshape(L, E)
+        px = ex[:, order]
+        py = ey[:, order]
 
     n_keys = nb * w * (half + 1)
     from contextlib import nullcontext
@@ -549,19 +573,14 @@ def msm_fixed_core(
     flat_keys = keys.reshape(E)
     order = jnp.argsort(flat_keys)
     sorted_keys = flat_keys[order]
-    # Gather from the window/batch-broadcast table view (XLA lowers the
-    # big-source single-index gather best on TPU; index-arithmetic gathers
-    # from the small table measured slower). The gather is random-access
-    # bandwidth bound, so both coordinates are PACKED two 16-bit limbs per
-    # u32 word first -- half the gathered bytes -- and unpacked after; the
-    # digit sign is applied to y post-gather.
+    # The coordinate gather is the pipeline's bandwidth bottleneck: it is
+    # random-access, so (a) both coordinates are PACKED two 16-bit limbs
+    # per u32 word (half the bytes) and (b) the table is laid out in
+    # ROW-MAJOR point rows (x||y packed = 96 contiguous bytes per point) so
+    # each gathered element is ONE cache-line-sized run instead of 24
+    # strided 4-byte touches. The digit sign is applied to y post-gather.
     tshape = lambda lead: lead + (1,) * (len(batch) - len(tb)) + tb + (n,)
-
-    def pack(a):  # (L, w, *tb, n) -> broadcast packed (L/2, E)
-        p = a[0::2] | (a[1::2] << 16)
-        return jnp.broadcast_to(
-            p.reshape(tshape((L // 2, w))), (L // 2, w) + batch + (n,)
-        ).reshape(L // 2, E)
+    Tb = int(np.prod(tb)) if tb else 1
 
     def unpack(g):  # (L/2, E') -> (L, E')
         lo = g & jnp.uint32(0xFFFF)
@@ -571,8 +590,32 @@ def msm_fixed_core(
     tinf = jnp.broadcast_to(
         table.inf.reshape(tshape((w,))), (w,) + batch + (n,)
     ).reshape(E)
-    px = unpack(pack(table.x)[:, order])
-    py = unpack(pack(table.y)[:, order])
+    if _row_gather():
+        # source row for element e of the (w, *batch, n) flattening: the
+        # batch dims broadcast over the table's own *tb dims from the right
+        def pack_rows(a):  # (L, w, *tb, n) -> (w*Tb*n, L/2)
+            p = a[0::2] | (a[1::2] << 16)
+            return p.reshape(L // 2, w * Tb * n).T
+
+        tab_rows = jnp.concatenate(
+            [pack_rows(table.x), pack_rows(table.y)], axis=1
+        )  # (w*Tb*n, L)
+        j = order // (nb * n)
+        rem = order % (nb * n)
+        src = (j * Tb + (rem // n) % Tb) * n + rem % n
+        g = tab_rows[src].T  # (L, E)
+        px = unpack(g[: L // 2])
+        py = unpack(g[L // 2 :])
+    else:
+
+        def pack(a):  # (L, w, *tb, n) -> broadcast packed (L/2, E)
+            p = a[0::2] | (a[1::2] << 16)
+            return jnp.broadcast_to(
+                p.reshape(tshape((L // 2, w))), (L // 2, w) + batch + (n,)
+            ).reshape(L // 2, E)
+
+        px = unpack(pack(table.x)[:, order])
+        py = unpack(pack(table.y)[:, order])
     pinf = tinf[order]
     sign_s = sign.reshape(E)[order]
     py = jnp.where(sign_s[None], fl.neg(FP, py), py)
