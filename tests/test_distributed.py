@@ -1,5 +1,11 @@
-"""Structural tests for the multi-host mesh helpers (single-process here;
-the mesh/axis layout is identical on a real multi-host slice)."""
+"""Multi-host distributed execution tests: structural mesh-layout checks
+plus a REAL 2-process `jax.distributed` run (gloo CPU collectives) of the
+sharded MSM over a DCN-spanning global mesh."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -7,6 +13,50 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from kzg_tpu.parallel import distributed as D  # noqa: E402
+
+
+def test_two_process_sharded_msm():
+    """Two OS processes x 4 virtual CPU devices = one global (2, 4)
+    blobs-x-points mesh; each process verifies its blob shard vs the
+    oracle. This is the actual multi-host code path (initialize + global
+    mesh + cross-process collectives), not a simulation."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    # drop any inherited device-count flag (conftest sets 8 for this
+    # process); each worker sets its own 4 so the global mesh is 2 x 4 = 8
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process distributed run timed out\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"OK {i}" in out, f"worker {i} no OK:\n{out}"
 
 
 def test_global_mesh_layout():
