@@ -123,3 +123,24 @@ def verify_cell_kzg_proof_batch(
 ) -> bool:
     """(parity: verify_cell_kzg_proof_batch_raw, eth/eip_7594.rs:105-139)"""
     return _e7.verify_cell_kzg_proof_batch(commitments, cell_indices, cells, proofs, s)
+
+
+def compute_kzg_proof_multi(
+    poly_coeffs: Sequence[int], x: int, n: int, s: Settings
+) -> bytes:
+    """(parity: KZGSettings::compute_proof_multi,
+    blst/src/types/kzg_settings.rs:198-234; device quotient via
+    ops/poly.poly_fast_div)"""
+    from . import multiproof as _mp
+
+    return _mp.compute_kzg_proof_multi(poly_coeffs, x, n, s)
+
+
+def verify_kzg_proof_multi(
+    commitment: bytes, proof: bytes, x: int, ys: Sequence[int], s: Settings
+) -> bool:
+    """(parity: KZGSettings::check_proof_multi,
+    blst/src/types/kzg_settings.rs:236-277; device coset interpolation)"""
+    from . import multiproof as _mp
+
+    return _mp.verify_kzg_proof_multi(commitment, proof, x, ys, s)

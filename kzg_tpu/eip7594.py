@@ -152,6 +152,13 @@ def _shift_powers(factor: int, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _shift_powers_dev(factor: int, n: int) -> jnp.ndarray:
+    """Device-resident coset shift powers (static per setup: uploading them
+    per call costs a tunnel round trip each)."""
+    return jnp.asarray(_shift_powers(factor, n))
+
+
+@functools.lru_cache(maxsize=None)
 def _toeplitz_gather(n: int, cell: int) -> Tuple[np.ndarray, np.ndarray]:
     """Host index/mask arrays for the strided Toeplitz coefficient gather
     (parity: toeplitz_coeffs_stride, das.rs:631-658). Returns
@@ -266,18 +273,39 @@ def _recover_core(
     return dfft(recon_coeff), recon_coeff
 
 
+def _recover_shapes():
+    """Static layout of the single packed u32 upload for
+    _recover_proofs_kernel (one transfer, one program, one read-back)."""
+    L = FR.n_limbs
+    mm = K2 // 2
+    return [
+        ("cells", (L, 1, N_EXT)),  # canonical limbs, natural order
+        ("missing", (1, N_EXT)),  # bool mask
+        ("mroots", (L, mm)),  # canonical limbs of missing-cell roots
+        ("mvalid", (mm,)),  # bool
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
-def _recover_proofs_kernel(
-    cells_m, missing_mask, miss_roots, miss_valid, shift, unshift,
-    tab_x, tab_y, tab_inf, c,
-):
-    """recover_cells_and_kzg_proofs as ONE device program: the short
-    vanishing polynomial of the missing cells builds on device (ops/poly
-    tree product -- role parity zero_poly.rs via das.rs:519-547), erasure
-    recovery feeds the FK20 pipeline directly (the recovered coefficients
-    ARE the monomial poly -- no FFT roundtrip), proofs come back affine."""
+def _recover_proofs_kernel(buf, shift, unshift, tab_x, tab_y, tab_inf, c):
+    """recover_cells_and_kzg_proofs as ONE device program with ONE packed
+    upload: the short vanishing polynomial of the missing cells builds on
+    device (ops/poly tree product -- role parity zero_poly.rs via
+    das.rs:519-547), erasure recovery feeds the FK20 pipeline directly (the
+    recovered coefficients ARE the monomial poly -- no FFT roundtrip),
+    proofs come back affine."""
     from .ops import poly as dpoly
 
+    parts = {}
+    off = 0
+    for name, shape in _recover_shapes():
+        size = int(np.prod(shape))
+        parts[name] = jax.lax.dynamic_slice_in_dim(buf, off, size).reshape(shape)
+        off += size
+    cells_m = fl.from_canonical(FR, parts["cells"])
+    missing_mask = parts["missing"] != 0
+    miss_roots = fl.from_canonical(FR, parts["mroots"])
+    miss_valid = parts["mvalid"] != 0
     mm = miss_roots.shape[-1]
     short = dpoly.vanishing_poly(miss_roots[:, None, :], miss_valid[None])
     vanish_m = jnp.zeros((FR.n_limbs, 1, N_EXT), jnp.uint32)
@@ -410,18 +438,18 @@ def recover_cells_and_kzg_proofs(
         elem_missing_nat = elem_missing_wire[brp_indices(N_EXT)]
 
         cells_nat = cell_limbs[:, brp_indices(N_EXT)]
-        cells_m = fl.from_canonical_jit(FR, jnp.asarray(cells_nat)[:, None, :])
-        shift = jnp.asarray(_shift_powers(RECOVERY_SHIFT_FACTOR, N_EXT))
-        unshift = jnp.asarray(
-            _shift_powers(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT)
+        buf = _pack_u32(
+            [
+                cells_nat[:, None, :],
+                elem_missing_nat[None],
+                fl.ints_to_limbs(mroots, FR.n_limbs),
+                mvalid,
+            ]
         )
         cells_can, aff = _recover_proofs_kernel(
-            cells_m,
-            jnp.asarray(elem_missing_nat)[None],
-            fl.from_canonical_jit(FR, jnp.asarray(fl.ints_to_limbs(mroots, FR.n_limbs))),
-            jnp.asarray(mvalid),
-            shift,
-            unshift,
+            jnp.asarray(buf),
+            _shift_powers_dev(RECOVERY_SHIFT_FACTOR, N_EXT),
+            _shift_powers_dev(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT),
             t.x,
             t.y,
             t.inf,
@@ -470,22 +498,66 @@ def _msm_auto(pts: dg1.G1Aff, sc: jnp.ndarray, use_pallas: bool) -> dg1.G1XYZZ:
     return dmsm.msm_core(pts, sc, dmsm.default_window(n, False), use_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("c_fixed", "use_pallas"))
+def _verify_cell_shapes(npad: int, upad: int):
+    """Static (name, shape) layout of the single packed u32 upload for
+    _verify_cell_kernel (every separate host->device transfer through a
+    remote-attached chip costs a full round trip)."""
+    LP = dg1.FP.n_limbs
+    L = FR.n_limbs
+    return [
+        ("prx", (LP, npad)),
+        ("pry", (LP, npad)),
+        ("prinf", (npad,)),
+        ("sc2", (L, 2, npad)),
+        ("cmx", (LP, upad)),
+        ("cmy", (LP, upad)),
+        ("cminf", (upad,)),
+        ("wts", (L, upad)),
+        ("cells", (L, npad, CELL)),
+        ("r_limbs", (L, npad, 1)),
+        ("onehot", (K2, npad)),
+    ]
+
+
+def _pack_u32(arrays) -> np.ndarray:
+    return np.concatenate(
+        [np.ascontiguousarray(a).astype(np.uint32, copy=False).reshape(-1) for a in arrays]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npad", "upad", "c_fixed", "use_pallas")
+)
 def _verify_cell_kernel(
-    p2x, p2y, p2inf, sc2,
-    cmx, cmy, cminf, wts,
-    cells_stack, r_limbs, onehot, inv_shifts,
-    tabx, taby, tabinf, c_fixed, use_pallas,
+    buf, inv_shifts, tabx, taby, tabinf, npad, upad, c_fixed, use_pallas
 ):
     """The whole device side of verify_cell_kzg_proof_batch as ONE program
-    (remote-attached dispatch+transfer costs dominate multi-program paths):
-    the fused batch-2 proof MSM, the commitment-weight MSM, the aggregated
-    interpolation polynomial (cell aggregation + per-column iFFT + coset
-    unshift + fixed-base commit), returning all four result points as one
-    affine batch [proof_lincomb, weighted_proofs, final_sum, interp]."""
-    out2 = _msm_auto(dg1.G1Aff(p2x, p2y, p2inf), sc2, use_pallas)  # (L, 2)
-    fs = _msm_auto(dg1.G1Aff(cmx, cmy, cminf), wts, use_pallas)  # (L,)
-    agg_m = _agg_cells_core(cells_stack, r_limbs, onehot)
+    with ONE packed upload (remote-attached dispatch+transfer costs dominate
+    multi-program paths): the fused batch-2 proof MSM, the commitment-weight
+    MSM, the aggregated interpolation polynomial (cell aggregation +
+    per-column iFFT + coset unshift + fixed-base commit), returning all four
+    result points as one affine batch
+    [proof_lincomb, weighted_proofs, final_sum, interp]."""
+    parts = {}
+    off = 0
+    for name, shape in _verify_cell_shapes(npad, upad):
+        size = int(np.prod(shape))
+        parts[name] = jax.lax.dynamic_slice_in_dim(buf, off, size).reshape(shape)
+        off += size
+    p2 = dg1.G1Aff(
+        jnp.stack([parts["prx"]] * 2, axis=1),
+        jnp.stack([parts["pry"]] * 2, axis=1),
+        jnp.stack([parts["prinf"] != 0] * 2, axis=0),
+    )
+    out2 = _msm_auto(p2, parts["sc2"], use_pallas)  # (L, 2)
+    fs = _msm_auto(
+        dg1.G1Aff(parts["cmx"], parts["cmy"], parts["cminf"] != 0),
+        parts["wts"],
+        use_pallas,
+    )  # (L,)
+    agg_m = _agg_cells_core(
+        parts["cells"], parts["r_limbs"], parts["onehot"] != 0
+    )
     agg_poly = _interp_poly_core(agg_m, inv_shifts)
     agg_scalars = fl.to_canonical(FR, agg_poly)
     table = dmsm.FixedBaseTable(tabx, taby, tabinf, c_fixed)
@@ -552,10 +624,11 @@ def verify_cell_kzg_proof_batch(
     # proof lincomb + weighted proof sum, fused batch of 2
     h_pows = [roots[CELL_INDICES_RBL[ci] * CELL] for ci in cell_indices]
     weighted_r = [rp * hp % R for rp, hp in zip(r_powers, h_pows)]
-    pr = dg1.affine_from_ints(proofs + [None] * pad_k)
+    prx, pry, prinf = dg1.affine_host_limbs(proofs + [None] * pad_k)
+    r_pow_limbs = fl.ints_to_limbs(list(r_powers) + [0] * pad_k, FR.n_limbs)
     sc2 = np.stack(
         [
-            fl.ints_to_limbs(list(r_powers) + [0] * pad_k, FR.n_limbs),
+            r_pow_limbs,
             fl.ints_to_limbs(weighted_r + [0] * pad_k, FR.n_limbs),
         ],
         axis=1,
@@ -567,41 +640,43 @@ def verify_cell_kzg_proof_batch(
     weights = [0] * nu
     for i, ci in enumerate(commitment_indices):
         weights[ci] = (weights[ci] + r_powers[i]) % R
-    cm = dg1.affine_from_ints(unique_commitments + [None] * (upad - nu))
+    cmx, cmy, cminf = dg1.affine_host_limbs(
+        unique_commitments + [None] * (upad - nu)
+    )
 
     # aggregated interpolation polynomial commitment: the per-column
     # r-weighted cell sums run on device (one mont-mul + masked tree-sum)
     # instead of O(cells x 64) host bigint ops (round-1 verdict weak #8)
     zpad = np.zeros((FR.n_limbs, pad_k, CELL), np.uint32)
-    cells_stack = jnp.asarray(
-        np.concatenate([np.stack(cells_limbs, axis=1), zpad], axis=1)
+    cells_stack = np.concatenate(
+        [np.stack(cells_limbs, axis=1), zpad], axis=1
     )  # (16, npad, 64)
-    r_limbs = jnp.asarray(
-        fl.ints_to_limbs(list(r_powers) + [0] * pad_k, FR.n_limbs)
-    )[:, :, None]
-    onehot = jnp.asarray(
-        np.concatenate(
-            [
-                np.asarray(cell_indices)[None, :] == np.arange(K2)[:, None],
-                np.zeros((K2, pad_k), bool),
-            ],
-            axis=1,
-        )
+    onehot = np.concatenate(
+        [
+            np.asarray(cell_indices)[None, :] == np.arange(K2)[:, None],
+            np.zeros((K2, pad_k), bool),
+        ],
+        axis=1,
     )  # (K2, npad)
     inv_shifts, (tabx, taby, tabinf, c_fixed) = _interp_consts(s)
 
-    # ONE device program + ONE read-back for the whole batch
+    # ONE packed upload + ONE device program + ONE read-back for the batch
     from .ops.pallas_msm import enabled as _pallas_enabled
 
+    buf = _pack_u32(
+        [
+            prx, pry, prinf,
+            sc2,
+            cmx, cmy, cminf,
+            fl.ints_to_limbs(weights + [0] * (upad - nu), FR.n_limbs),
+            cells_stack,
+            r_pow_limbs[:, :, None],
+            onehot,
+        ]
+    )
     aff = _verify_cell_kernel(
-        jnp.stack([pr.x, pr.x], axis=1),
-        jnp.stack([pr.y, pr.y], axis=1),
-        jnp.stack([pr.inf, pr.inf], axis=0),
-        jnp.asarray(sc2),
-        cm.x, cm.y, cm.inf,
-        jnp.asarray(fl.ints_to_limbs(weights + [0] * (upad - nu), FR.n_limbs)),
-        cells_stack, r_limbs, onehot, inv_shifts,
-        tabx, taby, tabinf, c_fixed, _pallas_enabled(),
+        jnp.asarray(buf), inv_shifts, tabx, taby, tabinf,
+        npad, upad, c_fixed, _pallas_enabled(),
     )
     proof_lincomb, weighted_proofs, final_sum, interp_commit = dg1.affine_to_ints(aff)
 

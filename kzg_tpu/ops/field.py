@@ -110,13 +110,18 @@ class FieldSpec:
 
     # ---- host encode/decode ------------------------------------------------
 
-    def encode(self, vs) -> jnp.ndarray:
-        """Python ints -> Montgomery-form device limbs (L, B)."""
+    def encode_host(self, vs) -> np.ndarray:
+        """Python ints -> Montgomery-form limbs (L, B) as HOST numpy (for
+        callers that pack several arrays into one fused device upload)."""
         if isinstance(vs, int):
             vs = [vs]
         r = 1 << (LIMB_BITS * self.n_limbs)
         reduced = [v % self.modulus * r % self.modulus for v in vs]
-        return jnp.asarray(ints_to_limbs(reduced, self.n_limbs))
+        return ints_to_limbs(reduced, self.n_limbs)
+
+    def encode(self, vs) -> jnp.ndarray:
+        """Python ints -> Montgomery-form device limbs (L, B)."""
+        return jnp.asarray(self.encode_host(vs))
 
     def decode(self, a) -> List[int]:
         """Montgomery-form device limbs -> python ints."""

@@ -366,8 +366,9 @@ def msm_ladder(points: G1Aff, scalar_limbs: jnp.ndarray) -> G1XYZZ:
 # ---------------------------------------------------------------------------
 
 
-def affine_from_ints(points) -> G1Aff:
-    """List of oracle affine points ((x, y) ints or None) -> device batch."""
+def affine_host_limbs(points):
+    """List of oracle affine points -> HOST numpy (x_limbs, y_limbs, inf),
+    for callers that pack several arrays into one fused device upload."""
     xs, ys, infs = [], [], []
     for pt in points:
         if pt is None:
@@ -378,7 +379,13 @@ def affine_from_ints(points) -> G1Aff:
             xs.append(pt[0])
             ys.append(pt[1])
             infs.append(False)
-    return G1Aff(FP.encode(xs), FP.encode(ys), jnp.asarray(np.array(infs)))
+    return FP.encode_host(xs), FP.encode_host(ys), np.array(infs)
+
+
+def affine_from_ints(points) -> G1Aff:
+    """List of oracle affine points ((x, y) ints or None) -> device batch."""
+    xs, ys, infs = affine_host_limbs(points)
+    return G1Aff(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(infs))
 
 
 def affine_to_ints(a: G1Aff):
