@@ -29,6 +29,11 @@ def fence(x):
 
 
 def bench(fn, args, iters=20):
+    """fn must end in a tiny in-graph reduction -- the fence reads back a
+    few bytes, not the gathered tensor (63 MB over the tunnel would dwarf
+    the kernel)."""
+    import jax.numpy as jnp
+
     r = fn(*args)
     fence(r)  # compile + warm
     t0 = time.time()
@@ -60,7 +65,7 @@ def main():
 
         @jax.jit
         def row_raw(tab, src):
-            return tab[src]
+            return jnp.sum(tab[src], dtype=jnp.uint32)
 
         dt = bench(row_raw, (tab, src))
         print(f"xla_row_raw : {dt:7.2f} ms  ({E*96/dt/1e6:.1f} GB/s)")
@@ -72,10 +77,52 @@ def main():
             g = tab[src].T  # (24, E)
             lo = g & jnp.uint32(0xFFFF)
             hi = g >> 16
-            return jnp.stack([lo, hi], axis=1).reshape(48, g.shape[-1])
+            out = jnp.stack([lo, hi], axis=1).reshape(48, g.shape[-1])
+            return jnp.sum(out, dtype=jnp.uint32)
 
         dt = bench(row_full, (tab, src))
         print(f"xla_row     : {dt:7.2f} ms  ({E*96/dt/1e6:.1f} GB/s)")
+
+    if "xla_row_pad32" in variants:
+        tab32 = jnp.pad(tab, ((0, 0), (0, 8)))  # 128-byte rows
+
+        @jax.jit
+        def row32(t, src):
+            return jnp.sum(t[src], dtype=jnp.uint32)
+
+        dt = bench(row32, (tab32, src))
+        print(f"xla_row_pad32: {dt:6.2f} ms  ({E*96/dt/1e6:.1f} GB/s useful)")
+
+    if "xla_row_pad128" in variants:
+        tab128 = jnp.pad(tab, ((0, 0), (0, 104)))  # 512-byte rows
+
+        @jax.jit
+        def row128(t, src):
+            return jnp.sum(t[src], dtype=jnp.uint32)
+
+        dt = bench(row128, (tab128, src))
+        print(f"xla_row_pad128: {dt:5.2f} ms  ({E*96/dt/1e6:.1f} GB/s useful)")
+
+    if "xla_lane" in variants:
+        tabT = tab.T  # (24, ROWS): gather along the minor (lane) dim
+
+        @jax.jit
+        def lane(t, src):
+            return jnp.sum(jnp.take(t, src, axis=1), dtype=jnp.uint32)
+
+        dt = bench(lane, (tabT, src))
+        print(f"xla_lane    : {dt:7.2f} ms  ({E*96/dt/1e6:.1f} GB/s)")
+
+    if "xla_one" in variants:
+        # single-u32-per-row random read: per-row overhead floor
+        flat = tab[:, 0]
+
+        @jax.jit
+        def one(t, src):
+            return jnp.sum(t[src], dtype=jnp.uint32)
+
+        dt = bench(one, (flat, src))
+        print(f"xla_one     : {dt:7.2f} ms  ({E*4/dt/1e6:.1f} GB/s, {E/dt/1e3:.0f}M rows/s)")
 
     if "onehot_mxu" in variants:
 
@@ -98,12 +145,13 @@ def main():
                 "bwen,wnc->bwec", oh, tb, preferred_element_type=jnp.int32
             )
             g = (g & 0xFF).astype(jnp.uint32).reshape(nb // 20, 20, N, 24, 4)
-            return (
+            out = (
                 g[..., 0]
                 | (g[..., 1] << 8)
                 | (g[..., 2] << 16)
                 | (g[..., 3] << 24)
             )
+            return jnp.sum(out, dtype=jnp.uint32)
 
         dt = bench(onehot, (tab, srcb))
         print(f"onehot_mxu  : {dt:7.2f} ms  ({E*96/dt/1e6:.1f} GB/s)")
@@ -128,7 +176,7 @@ def main():
         @jax.jit
         def pdg(tab, src):
             idx = jnp.broadcast_to(
-                src.reshape(grid, REP, N).transpose(0, 2, 1)[..., None],
+                (src % N).reshape(grid, REP, N).transpose(0, 2, 1)[..., None],
                 (grid, N, REP, 24),
             ).reshape(grid, N, REP * 24)
             return pl.pallas_call(
@@ -142,7 +190,7 @@ def main():
                 out_specs=pl.BlockSpec(
                     (1, N, REP * 24), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
-            )(tab[:N], src % N)
+            )(tab[:N], idx)
         dt = bench(pdg, (tab, src))
         print(f"pallas_dg   : {dt:7.2f} ms  ({E*96/dt/1e6:.1f} GB/s)")
 

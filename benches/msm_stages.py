@@ -1,4 +1,4 @@
-"""Stage-by-stage timing of the fixed-base MSM pipeline.
+"""Stage-by-stage timing of the fixed-base MSM pipeline (mem-layout design).
 
 Prefix-difference method with honest fencing: for each prefix of the
 pipeline (digits+sort | +gather | +scan/buckets | +integrate) dispatch
@@ -10,7 +10,6 @@ read-back is a few bytes.
 Usage: python benches/msm_stages.py [batch] [iters]
 """
 
-import os
 import sys
 import time
 from functools import partial
@@ -23,11 +22,11 @@ def main():
     import jax.numpy as jnp
 
     from kzg_tpu.constants import R_MOD as R
-    from kzg_tpu.ops import field as fl
     from kzg_tpu.ops import g1
     from kzg_tpu.ops import msm as dmsm
-    from kzg_tpu.ops.field import FP, FR, ints_to_limbs
-    from kzg_tpu.ops.g1 import G1Aff, G1XYZZ
+    from kzg_tpu.ops import pallas_msm
+    from kzg_tpu.ops.field import FP, ints_to_limbs
+    from kzg_tpu.ops.g1 import G1XYZZ
     from kzg_tpu.settings import load_settings
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -51,49 +50,51 @@ def main():
         bidx = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
         keys = bidx * (half + 1) + bucket
         E = nb * w * n
-        flat_keys = keys.reshape(E)
-        order = jnp.argsort(flat_keys)
-        sorted_keys = flat_keys[order]
-        if stage == 0:
-            return jnp.sum(sorted_keys) + jnp.sum(order)
+        n_keys = nb * (half + 1)
 
-        def pack_rows(a):  # (L, w, n) -> (w*n, L/2)
-            p = a[0::2] | (a[1::2] << 16)
-            return p.reshape(L // 2, w * n).T
-
-        def unpack(gg):
-            lo = gg & jnp.uint32(0xFFFF)
-            hi = gg >> 16
-            return jnp.stack([lo, hi], axis=1).reshape(L, gg.shape[-1])
-
-        tab_rows = jnp.concatenate(
-            [pack_rows(table.x), pack_rows(table.y)], axis=1
+        rows_packed, R0 = dmsm._pack_point_rows(table.x, table.y, table.inf)
+        src_nat = jnp.broadcast_to(
+            (
+                jnp.arange(w, dtype=jnp.int32).reshape(w, 1, 1) * n
+                + jnp.arange(n, dtype=jnp.int32).reshape(1, 1, n)
+            ),
+            (w, nb, n),
         )
-        j = order // (nb * n)
-        rem = order % (nb * n)
-        src = j * n + rem % n
-        gg = tab_rows[src].T
-        px = unpack(gg[: L // 2])
-        py = unpack(gg[L // 2 :])
-        sign_s = sign.reshape(E)[order]
-        py = jnp.where(sign_s[None], fl.neg(FP, py), py)
-        tinf = jnp.broadcast_to(
-            table.inf.reshape((w, 1, n)), (w, nb, n)
-        ).reshape(E)
-        pinf = tinf[order]
+        aug = jnp.where(sign, src_nat + R0, src_nat).reshape(E)
+        flat_keys = keys.reshape(E)
+
+        sorted_keys, src_sorted = jax.lax.sort((flat_keys, aug), num_keys=1)
+        if stage == 0:
+            return jnp.sum(sorted_keys) + jnp.sum(src_sorted)
+
+        diff = sorted_keys[1:] != sorted_keys[:-1]
+        first = jnp.concatenate([jnp.ones((1,), bool), diff])
+        last = jnp.concatenate([diff, jnp.ones((1,), bool)])
+        K = dmsm._pick_chunk(E)
+        lanes = pallas_msm.S * 128
+        m_p = -(-(-(-E // K)) // lanes) * lanes
+        E2 = m_p * K
+        pad = E2 - E
+        if pad:
+            src_sorted = jnp.pad(src_sorted, (0, pad))
+            first = jnp.pad(first, (0, pad), constant_values=True)
+            last = jnp.pad(last, (0, pad), constant_values=True)
+        fl2 = first.reshape(m_p, K)
+        la2 = last.reshape(m_p, K)
+        MS = m_p // 128
+        idx_mem = src_sorted.reshape(m_p, K).T.reshape(K, MS, 128)
+        first_mem = fl2.astype(jnp.uint32).T.reshape(K, MS, 128)
+        g = jnp.take(rows_packed.T, idx_mem, axis=1)
         if stage == 1:
-            return jnp.sum(px) + jnp.sum(py) + jnp.sum(pinf)
+            return jnp.sum(g, dtype=jnp.uint32)
 
         with g1.tiled_pallas_adds():
-            sums = dmsm.segment_sum_points(
-                G1Aff(px, py, pinf), sorted_keys, nb * (half + 1),
-                use_pallas=True,
-            )
+            sums = dmsm._bucket_sums_mem(rows_packed, flat_keys, aug, n_keys)
             buckets = G1XYZZ(*(cc.reshape((L, nb, half + 1)) for cc in sums))
             if stage == 2:
-                return sum(jnp.sum(cc) for cc in buckets)
+                return sum(jnp.sum(cc, dtype=jnp.uint32) for cc in buckets)
             acc = dmsm.integrate_buckets(buckets)
-        return sum(jnp.sum(cc) for cc in acc)
+        return sum(jnp.sum(cc, dtype=jnp.uint32) for cc in acc)
 
     rng = np.random.default_rng(42)
 
@@ -118,7 +119,7 @@ def main():
         results[stage] = dt
         print(f"prefix {stage}: {dt:.2f} ms", file=sys.stderr)
 
-    names = ["digits+sort", "gather+unpack", "scan+buckets", "integrate"]
+    names = ["digits+sort", "gather", "scan+buckets", "integrate"]
     prev = 0.0
     for stage in (0, 1, 2, 3):
         print(f"{names[stage]:>14}: {results[stage]-prev:7.2f} ms")

@@ -36,14 +36,6 @@ from .field import FP, FR
 from .g1 import G1Aff, G1XYZZ
 
 
-def _row_gather() -> bool:
-    """Row-major (point-rows) coordinate gather layout; KZG_TPU_ROW_GATHER=0
-    falls back to the per-limb column gathers for A/B measurement."""
-    import os
-
-    return os.environ.get("KZG_TPU_ROW_GATHER", "1") == "1"
-
-
 def default_window(n: int, fixed_base: bool) -> int:
     """Window-size heuristic (cost model analog of
     /root/reference/kzg/src/msm/bgmw.rs:102-135). Segmented-scan work is
@@ -142,17 +134,17 @@ def _seg_scan_chunked(
     first: jnp.ndarray,
     last: jnp.ndarray,
     chunk: int,
-    use_pallas: bool,
 ) -> G1XYZZ:
     """Segmented scan over E sorted AFFINE elements, valid at segment-LAST
-    positions only (all the caller consumes). Three phases: (1) sequential
-    within-chunk inclusive scan with MIXED adds (the running sum is XYZZ but
-    every incoming element is affine: madd costs 10M vs the 14M of a full
-    add) -- one traced add, work E, depth K; (2) segmented Hillis-Steele
-    over the E/K chunk aggregates; (3) ONE carry-in add per chunk, applied
-    at the chunk's first segment-end (the only position in the chunk's head
-    piece that downstream reads) -- E/K adds, not E.
-    Work ~E mixed + ~2(E/K)log(E/K) full point adds."""
+    positions only (all the caller consumes). jnp path (CPU tests / oracle
+    cross-checks); the production TPU pipeline is _bucket_sums_mem. Three
+    phases: (1) sequential within-chunk inclusive scan with MIXED adds (the
+    running sum is XYZZ but every incoming element is affine: madd costs
+    10M vs the 14M of a full add) -- one traced add, work E, depth K; (2)
+    segmented Hillis-Steele over the E/K chunk aggregates; (3) ONE carry-in
+    add per chunk, applied at the chunk's first segment-end (the only
+    position in the chunk's head piece that downstream reads) -- E/K adds,
+    not E. Work ~E mixed + ~2(E/K)log(E/K) full point adds."""
     E = first.shape[-1]
     K = min(chunk, E)
     pad = (-E) % K
@@ -172,10 +164,6 @@ def _seg_scan_chunked(
     la2 = last.reshape(m, K)
 
     # phase 1: sequential inclusive scan within each chunk (lanes = chunks)
-    if use_pallas and ax.ndim == 3:
-        pts = pallas_msm.seg_scan_phase1(ax, ay, ainf, fl2)
-        return _seg_scan_tail(pts, fl2, la2, m, K, E, pad)
-
     col0 = g1.from_affine(G1Aff(ax[..., 0], ay[..., 0], ainf[..., 0]))
     pts = G1XYZZ(
         *(
@@ -244,7 +232,6 @@ def segment_sum_points(
     keys: jnp.ndarray,
     n_keys: int,
     chunk: Optional[int] = None,
-    use_pallas: bool = False,
 ) -> G1XYZZ:
     """Sum AFFINE points sharing the same key. `keys` must be SORTED
     ascending, shape (E,); points have batch shape (E,). Returns
@@ -253,7 +240,7 @@ def segment_sum_points(
         chunk = _pick_chunk(keys.shape[-1])
     first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     last = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
-    scanned = _seg_scan_chunked(points, first, last, chunk, use_pallas)
+    scanned = _seg_scan_chunked(points, first, last, chunk)
     # Dense bucket array WITHOUT a scatter (XLA scatter serializes on TPU):
     # for each key slot, binary-search the sorted keys for its last element
     # and gather the scan value there; empty slots select identity.
@@ -263,6 +250,110 @@ def segment_sum_points(
     hit = jnp.logical_and(pos >= 0, keys[pos_c] == slots)
     out = G1XYZZ(*(c[..., pos_c] for c in scanned))
     return g1.select_point(hit, out, g1.infinity((n_keys,)))
+
+
+def _bucket_sums_mem(
+    rows_packed: jnp.ndarray,
+    flat_keys: jnp.ndarray,
+    aug_src: jnp.ndarray,
+    n_keys: int,
+) -> G1XYZZ:
+    """Bucket accumulation for the Pallas path, engineered around the
+    measured bottleneck: NOT the random access itself (~3 ms for the 63 MB
+    row gather on v5e) but the layout churn around it (limb-major
+    transposes, 16-bit unpack restacks, and the rank->tile transposes
+    feeding the scan kernel used to cost ~20 ms more).
+
+    Layout plan: the 4-byte/element index arrays do all the relayout work
+    and the 96-byte/element coordinates move exactly once --
+      * sort carries the row index as a payload (lax.sort multi-operand),
+        with the digit sign pre-folded as an offset into a negated-y row
+        copy, so neither sign nor sorted keys need a gather;
+      * ONE lane-axis take produces packed rows directly in the scan
+        kernel's (K, MS, 128) mem-tile layout (element e = t*m + lane,
+        rank r = lane*K + t -- the index array is transposed, not the data);
+      * the kernel unpacks 16-bit limbs in-register and writes XYZZ in the
+        limb-major mem layout phases 2/3 and the bucket gather consume.
+
+    rows_packed: (R2, 2*(L//2)+1) u32 point rows [packed x | packed y |
+    inf], with rows [R2/2:) holding the negated-y copies.
+    flat_keys/aug_src: (E,) i32 in natural element order; aug_src is the
+    row index with +R2/2 folded in for negative digits.
+    Returns (L, n_keys) XYZZ bucket sums (identity for empty keys)."""
+    E = flat_keys.shape[0]
+    L = FP.n_limbs
+    sorted_keys, src_sorted = jax.lax.sort((flat_keys, aug_src), num_keys=1)
+    diff = sorted_keys[1:] != sorted_keys[:-1]
+    first = jnp.concatenate([jnp.ones((1,), bool), diff])
+    last = jnp.concatenate([diff, jnp.ones((1,), bool)])
+    K = _pick_chunk(E)
+    lanes = pallas_msm.S * 128
+    m_p = -(-(-(-E // K)) // lanes) * lanes
+    E2 = m_p * K
+    pad = E2 - E
+    if pad:
+        # padded ranks sit at the tail (highest lanes); first=True isolates
+        # them in their own segments, and no bucket key resolves to them
+        src_sorted = jnp.pad(src_sorted, (0, pad))
+        first = jnp.pad(first, (0, pad), constant_values=True)
+        last = jnp.pad(last, (0, pad), constant_values=True)
+    fl2 = first.reshape(m_p, K)
+    la2 = last.reshape(m_p, K)
+    MS = m_p // 128
+    idx_mem = src_sorted.reshape(m_p, K).T.reshape(K, MS, 128)
+    first_mem = fl2.astype(jnp.uint32).T.reshape(K, MS, 128)
+    g = jnp.take(rows_packed.T, idx_mem, axis=1)  # (2LP+1, K, MS, 128)
+    pts = pallas_msm.seg_scan_phase1_mem(g, first_mem)  # coords (L, K, m_p)
+
+    # phase 2: scan the chunk aggregates (step K-1 plane) with chunk flags
+    agg = G1XYZZ(*(c[:, K - 1, :] for c in pts))  # (L, m_p)
+    fchunk = fl2.any(axis=-1)
+    scanned = _seg_scan_hs(agg, fchunk)
+    carry = G1XYZZ(*(jnp.roll(c, 1, axis=-1) for c in scanned))
+    carry = g1.select_point(
+        jnp.arange(m_p, dtype=jnp.int32) == 0, g1.infinity((m_p,)), carry
+    )
+
+    # phase 3: one carry-in correction per chunk, at the chunk's first
+    # segment-end inside the head piece (the only consumed head position)
+    head = jnp.cumsum(fl2.astype(jnp.int32), axis=-1) == 0  # (m_p, K)
+    hl = jnp.logical_and(head, la2)
+    has = hl.any(axis=-1)
+    pos = jnp.argmax(hl, axis=-1)  # (m_p,) step index per lane
+    rows = jnp.arange(m_p, dtype=jnp.int32)
+    gathered = G1XYZZ(*(c[:, pos, rows] for c in pts))  # (L, m_p)
+    corrected = g1.add_unified(carry, gathered)
+    newv = g1.select_point(has, corrected, gathered)
+    pts = G1XYZZ(*(c.at[:, pos, rows].set(v) for c, v in zip(pts, newv)))
+
+    # bucket extraction: binary-search rank positions, convert rank->mem
+    flat = G1XYZZ(*(c.reshape(L, E2) for c in pts))
+    slots = jnp.arange(n_keys, dtype=sorted_keys.dtype)
+    pos_r = jnp.searchsorted(sorted_keys, slots, side="right") - 1
+    pos_c = jnp.clip(pos_r, 0, E - 1)
+    hit = jnp.logical_and(pos_r >= 0, sorted_keys[pos_c] == slots)
+    f = (pos_c % K) * m_p + pos_c // K
+    out = G1XYZZ(*(c[:, f] for c in flat))
+    return g1.select_point(hit, out, g1.infinity((n_keys,)))
+
+
+def _pack_point_rows(xs: jnp.ndarray, ys: jnp.ndarray, infs: jnp.ndarray):
+    """(L, …) x/y limb arrays + (…,) inf mask -> (2R, L+1) packed row table
+    [packed x | packed y | inf] with negated-y copies in the top half (sign
+    folding: digit sign selects the row half, so the sort payload carries
+    everything the scan kernel needs)."""
+    L = FP.n_limbs
+    R = int(np.prod(xs.shape[1:]))
+
+    def pack(a):  # (L, …) -> (R, L/2)
+        p = a[0::2] | (a[1::2] << 16)
+        return p.reshape(L // 2, R).T
+
+    xr = pack(xs)
+    infc = infs.reshape(R, 1).astype(jnp.uint32)
+    pos = jnp.concatenate([xr, pack(ys), infc], axis=1)
+    neg = jnp.concatenate([xr, pack(fl.neg(FP, ys)), infc], axis=1)
+    return jnp.concatenate([pos, neg], axis=0), R
 
 
 def _weighted_index_sum(p: G1XYZZ) -> G1XYZZ:
@@ -396,48 +487,34 @@ def msm_core(
         + jnp.arange(w, dtype=jnp.int32)[:, None, None]
     )
     keys = seg * (half + 1) + bucket  # (w, nb, n)
-
-    flat_keys = keys.reshape(E)
-    order = jnp.argsort(flat_keys)
-    sorted_keys = flat_keys[order]
+    n_keys = nb * w * (half + 1)
     L = FP.n_limbs
-    einf = jnp.broadcast_to(infs[None], (w, nb, n)).reshape(E)
-    pinf = einf[order]
-    if _row_gather():
-        # pack x||y into (nb*n, L) u32 point rows (one linear pass over the
-        # small point set), gather 96-byte-contiguous rows, unpack, and
-        # apply the digit sign to y post-gather -- same rationale as the
-        # fixed-base path above.
-        def pack_rows(a):  # (L, nb, n) -> (nb*n, L/2)
-            p = a[0::2] | (a[1::2] << 16)
-            return p.reshape(L // 2, nb * n).T
 
-        rows = jnp.concatenate([pack_rows(xs), pack_rows(ys)], axis=1)
-        g = rows[order % (nb * n)].T  # (L, E)
-
-        def unpack(gg):
-            lo = gg & jnp.uint32(0xFFFF)
-            hi = gg >> 16
-            return jnp.stack([lo, hi], axis=1).reshape(L, gg.shape[-1])
-
-        px = unpack(g[: L // 2])
-        py = unpack(g[L // 2 :])
-        sign_s = sign.reshape(E)[order]
-        py = jnp.where(sign_s[None], fl.neg(FP, py), py)
+    if use_pallas:
+        rows_packed, R0 = _pack_point_rows(xs, ys, infs)
+        src_nat = jnp.broadcast_to(
+            jnp.arange(nb * n, dtype=jnp.int32).reshape(1, nb, n), (w, nb, n)
+        )
+        aug = jnp.where(sign, src_nat + R0, src_nat).reshape(E)
+        with g1.tiled_pallas_adds():
+            sums = _bucket_sums_mem(rows_packed, keys.reshape(E), aug, n_keys)
+            buckets = G1XYZZ(
+                *(cc.reshape((L, nb, w, half + 1)) for cc in sums)
+            )
+            win = integrate_buckets(buckets)  # (L, nb, w, 1)
     else:
+        flat_keys = keys.reshape(E)
+        order = jnp.argsort(flat_keys)
+        sorted_keys = flat_keys[order]
+        einf = jnp.broadcast_to(infs[None], (w, nb, n)).reshape(E)
+        pinf = einf[order]
         yneg = fl.neg(FP, ys)
         ex = jnp.broadcast_to(xs[:, None], (L, w, nb, n)).reshape(L, E)
         ey = jnp.where(sign[None], yneg[:, None], ys[:, None]).reshape(L, E)
         px = ex[:, order]
         py = ey[:, order]
 
-    n_keys = nb * w * (half + 1)
-    from contextlib import nullcontext
-
-    with g1.tiled_pallas_adds() if use_pallas else nullcontext():
-        sums = segment_sum_points(
-            G1Aff(px, py, pinf), sorted_keys, n_keys, use_pallas=use_pallas
-        )
+        sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, n_keys)
         buckets = G1XYZZ(
             *(cc.reshape((FP.n_limbs, nb, w, half + 1)) for cc in sums)
         )
@@ -570,43 +647,36 @@ def msm_fixed_core(
     keys = bidx * (half + 1) + bucket
 
     E = nb * w * n
-    flat_keys = keys.reshape(E)
-    order = jnp.argsort(flat_keys)
-    sorted_keys = flat_keys[order]
-    # The coordinate gather is the pipeline's bandwidth bottleneck: it is
-    # random-access, so (a) both coordinates are PACKED two 16-bit limbs
-    # per u32 word (half the bytes) and (b) the table is laid out in
-    # ROW-MAJOR point rows (x||y packed = 96 contiguous bytes per point) so
-    # each gathered element is ONE cache-line-sized run instead of 24
-    # strided 4-byte touches. The digit sign is applied to y post-gather.
+    n_keys = nb * (half + 1)
     tshape = lambda lead: lead + (1,) * (len(batch) - len(tb)) + tb + (n,)
     Tb = int(np.prod(tb)) if tb else 1
 
-    def unpack(g):  # (L/2, E') -> (L, E')
-        lo = g & jnp.uint32(0xFFFF)
-        hi = g >> 16
-        return jnp.stack([lo, hi], axis=1).reshape(L, g.shape[-1])
-
-    tinf = jnp.broadcast_to(
-        table.inf.reshape(tshape((w,))), (w,) + batch + (n,)
-    ).reshape(E)
-    if _row_gather():
+    if use_pallas:
         # source row for element e of the (w, *batch, n) flattening: the
         # batch dims broadcast over the table's own *tb dims from the right
-        def pack_rows(a):  # (L, w, *tb, n) -> (w*Tb*n, L/2)
-            p = a[0::2] | (a[1::2] << 16)
-            return p.reshape(L // 2, w * Tb * n).T
-
-        tab_rows = jnp.concatenate(
-            [pack_rows(table.x), pack_rows(table.y)], axis=1
-        )  # (w*Tb*n, L)
-        j = order // (nb * n)
-        rem = order % (nb * n)
-        src = (j * Tb + (rem // n) % Tb) * n + rem % n
-        g = tab_rows[src].T  # (L, E)
-        px = unpack(g[: L // 2])
-        py = unpack(g[L // 2 :])
+        rows_packed, R0 = _pack_point_rows(table.x, table.y, table.inf)
+        src_nat = (
+            jnp.arange(w, dtype=jnp.int32).reshape(w, 1, 1) * Tb
+            + (jnp.arange(nb, dtype=jnp.int32) % Tb).reshape(1, nb, 1)
+        ) * n + jnp.arange(n, dtype=jnp.int32).reshape(1, 1, n)
+        aug = jnp.where(sign, src_nat + R0, src_nat).reshape(E)
+        with g1.tiled_pallas_adds():
+            sums = _bucket_sums_mem(rows_packed, keys.reshape(E), aug, n_keys)
+            buckets = G1XYZZ(*(cc.reshape((L, nb, half + 1)) for cc in sums))
+            acc = integrate_buckets(buckets)  # (L, nb, 1)
     else:
+        flat_keys = keys.reshape(E)
+        order = jnp.argsort(flat_keys)
+        sorted_keys = flat_keys[order]
+
+        def unpack(g):  # (L/2, E') -> (L, E')
+            lo = g & jnp.uint32(0xFFFF)
+            hi = g >> 16
+            return jnp.stack([lo, hi], axis=1).reshape(L, g.shape[-1])
+
+        tinf = jnp.broadcast_to(
+            table.inf.reshape(tshape((w,))), (w,) + batch + (n,)
+        ).reshape(E)
 
         def pack(a):  # (L, w, *tb, n) -> broadcast packed (L/2, E)
             p = a[0::2] | (a[1::2] << 16)
@@ -616,16 +686,11 @@ def msm_fixed_core(
 
         px = unpack(pack(table.x)[:, order])
         py = unpack(pack(table.y)[:, order])
-    pinf = tinf[order]
-    sign_s = sign.reshape(E)[order]
-    py = jnp.where(sign_s[None], fl.neg(FP, py), py)
+        pinf = tinf[order]
+        sign_s = sign.reshape(E)[order]
+        py = jnp.where(sign_s[None], fl.neg(FP, py), py)
 
-    from contextlib import nullcontext
-
-    with g1.tiled_pallas_adds() if use_pallas else nullcontext():
-        sums = segment_sum_points(
-            G1Aff(px, py, pinf), sorted_keys, nb * (half + 1), use_pallas=use_pallas
-        )
+        sums = segment_sum_points(G1Aff(px, py, pinf), sorted_keys, n_keys)
         buckets = G1XYZZ(*(cc.reshape((FP.n_limbs, nb, half + 1)) for cc in sums))
 
         acc = integrate_buckets(buckets)  # (L, nb, 1)

@@ -1,8 +1,8 @@
-"""Pallas kernel for the MSM scan hot loop.
+"""Pallas kernels for the MSM scan hot loop.
 
-Phase 1 of the segmented scan (`ops/msm.py:_seg_scan_chunked`) is the bulk
+Phase 1 of the segmented scan (`ops/msm.py:_bucket_sums_mem`) is the bulk
 of the MSM's point work: K sequential mixed adds per chunk, vectorized over
-chunk lanes. Two things make this kernel fast where XLA (and the round-1
+chunk lanes. Three things make this kernel fast where XLA (and the round-1
 kernel) were not:
 
   1. Full VPU tiles: every limb is a 2-D (S, 128) block (S sublane rows x
@@ -14,6 +14,11 @@ kernel) were not:
      the previous step computes, and the XYZZ accumulator lives in VMEM
      scratch across the whole K-loop. VMEM holds only O(1) steps, so K (and
      the MSM size) is unbounded.
+  3. Zero relayout: the kernel consumes the coordinate gather's output
+     layout as-is (packed 16-bit limb pairs, element tiles in mem order)
+     and unpacks in-register -- the measured bottleneck of the previous
+     design was not the random-access gather (~3 ms for 63 MB on v5e) but
+     the limb-major transposes and unpack restacks around it (~20 ms).
 
 Gating: msm.py resolves `use_pallas` per call site (process default backend
 for plain jit, mesh platform for shard_map -- see enabled/enabled_for).
@@ -85,18 +90,27 @@ def _kernel_mont(npT, n8T):
 
 
 @lru_cache(maxsize=None)
-def _phase1_call(K: int, MS: int, mxu: bool):
+def _phase1_packed_call(K: int, MS: int, mxu: bool):
+    """Phase-1 scan kernel over PACKED gathered rows.
+
+    Input g: (2*LP+1, K, MS, 128) u32 -- per element, LP=L/2 words of packed
+    x (two 16-bit limbs per u32), LP words of packed y (digit sign already
+    folded: the row table carries a negated-y copy), and one inf word. The
+    16-bit unpack happens in-register here, so the XLA-side pipeline never
+    materializes the 2x-bigger unpacked coordinate arrays, and the gather
+    that feeds this kernel needs no relayout at all (its output IS this
+    kernel's input layout). Outputs are written in (L, K, MS, 128) --
+    limb-major over the mem layout downstream phases index directly."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L = FP.n_limbs
+    LP = L // 2
 
     def kernel(
         npT_ref,
         n8T_ref,
-        ax_ref,
-        ay_ref,
-        ainf_ref,
+        g_ref,
         first_ref,
         ox_ref,
         oy_ref,
@@ -110,31 +124,42 @@ def _phase1_call(K: int, MS: int, mxu: bool):
         t = pl.program_id(1)
         mont = _kernel_mont(npT_ref[...], n8T_ref[...]) if mxu else None
         with fl.unrolled_ops(mont=mont):
-            axt = ax_ref[0]  # (L, S, 128)
-            ayt = ay_ref[0]
-            inft = ainf_ref[0] != 0  # (S, 128)
+            gb = g_ref[:, 0]  # (2*LP+1, S, 128)
+
+            def unpack(p):  # (LP, S, 128) -> (L, S, 128), limb order 0..L-1
+                cols = []
+                for k in range(LP):
+                    cols.append(p[k] & jnp.uint32(0xFFFF))
+                    cols.append(p[k] >> 16)
+                return jnp.stack(cols)
+
+            cur = G1Aff(unpack(gb[:LP]), unpack(gb[LP : 2 * LP]), gb[2 * LP] != 0)
             firstt = first_ref[0] != 0
-            cur = G1Aff(axt, ayt, inft)
             acc = G1XYZZ(accx[...], accy[...], acczz[...], acczzz[...])
             comb = g1.madd_unified(acc, cur)
             # chunk start (t == 0) resets the scan regardless of flags; the
             # scratch accumulator holds the previous lane-tile's tail there.
             reset = jnp.logical_or(firstt, t == 0)
             newc = g1.select_point(reset, g1.from_affine(cur), comb)
-            ox_ref[0] = newc.x
-            oy_ref[0] = newc.y
-            ozz_ref[0] = newc.zz
-            ozzz_ref[0] = newc.zzz
+            ox_ref[:, 0] = newc.x
+            oy_ref[:, 0] = newc.y
+            ozz_ref[:, 0] = newc.zz
+            ozzz_ref[:, 0] = newc.zzz
             accx[...] = newc.x
             accy[...] = newc.y
             acczz[...] = newc.zz
             acczzz[...] = newc.zzz
 
-    coord = lambda: pl.BlockSpec(
-        (1, L, S, 128), lambda i, t: (t, 0, i, 0), memory_space=pltpu.VMEM
+    gspec = lambda: pl.BlockSpec(
+        (2 * LP + 1, 1, S, 128),
+        lambda i, t: (0, t, i, 0),
+        memory_space=pltpu.VMEM,
     )
     mask = lambda: pl.BlockSpec(
         (1, S, 128), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM
+    )
+    ocoord = lambda: pl.BlockSpec(
+        (L, 1, S, 128), lambda i, t: (0, t, i, 0), memory_space=pltpu.VMEM
     )
     matspec = lambda shape: pl.BlockSpec(
         shape, lambda i, t: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -143,28 +168,40 @@ def _phase1_call(K: int, MS: int, mxu: bool):
     interpret = os.environ.get("KZG_TPU_PALLAS_INTERPRET", "0") == "1"
 
     @jax.jit
-    def call(ax, ay, ainf, first):
-        # ax/ay: (K, L, MS, 128); ainf/first: (K, MS, 128)
+    def call(g, first):
+        # g: (2*LP+1, K, MS, 128); first: (K, MS, 128)
         npT, n8T = fl.mxu_mats(FP.name)
         outs = pl.pallas_call(
             kernel,
-            out_shape=[jax.ShapeDtypeStruct(ax.shape, ax.dtype)] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((L, K, MS, 128), jnp.uint32)
+            ]
+            * 4,
             grid=(MS // S, K),
             in_specs=[
                 matspec(npT.shape),
                 matspec(n8T.shape),
-                coord(),
-                coord(),
-                mask(),
+                gspec(),
                 mask(),
             ],
-            out_specs=[coord()] * 4,
+            out_specs=[ocoord()] * 4,
             scratch_shapes=[pltpu.VMEM((L, S, 128), jnp.uint32)] * 4,
             interpret=interpret,
-        )(npT, n8T, ax, ay, ainf, first)
+        )(npT, n8T, g, first)
         return G1XYZZ(*outs)
 
     return call
+
+
+def seg_scan_phase1_mem(g: jnp.ndarray, first_mem: jnp.ndarray) -> G1XYZZ:
+    """Within-chunk inclusive segmented scan over packed gathered rows, in
+    mem layout (element e = t*m + lane; rank r = lane*K + t).
+
+    g: (2*(L//2)+1, K, MS, 128) packed rows; first_mem: (K, MS, 128) u32.
+    Returns XYZZ coords of shape (L, K, MS*128)."""
+    K, MS = g.shape[1], g.shape[2]
+    out = _phase1_packed_call(K, MS, _mxu_on())(g, first_mem)
+    return G1XYZZ(*(c.reshape(FP.n_limbs, K, MS * 128) for c in out))
 
 
 @lru_cache(maxsize=None)
@@ -339,39 +376,3 @@ def horner_windows(win: G1XYZZ, c: int) -> G1XYZZ:
 
     out = _horner_call(w, c)(*(prep(a) for a in win))
     return G1XYZZ(*(a.reshape(L, lanes)[:, :nb] for a in out))
-
-
-def seg_scan_phase1(aff_x, aff_y, aff_inf, first) -> G1XYZZ:
-    """Within-chunk inclusive segmented scan, Pallas-fused.
-
-    aff_x/aff_y: (L, m, K) Montgomery limbs; aff_inf/first: (m, K) bool.
-    Returns scanned XYZZ (L, m, K). m is padded to S*128 lanes internally.
-    """
-    L = FP.n_limbs
-    m, K = first.shape
-    lanes = S * 128
-    pad = (-m) % lanes
-    mp = m + pad
-    MS = mp // 128
-
-    def to_coord(a):  # (L, m, K) -> (K, L, MS, 128)
-        a = a.transpose(2, 0, 1)  # (K, L, m)
-        if pad:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
-        return a.reshape(K, L, MS, 128)
-
-    def to_mask(a):  # (m, K) bool -> (K, MS, 128) u32
-        a = a.astype(jnp.uint32).T  # (K, m)
-        if pad:
-            a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=1)
-        return a.reshape(K, MS, 128)
-
-    out = _phase1_call(K, MS, _mxu_on())(
-        to_coord(aff_x), to_coord(aff_y), to_mask(aff_inf), to_mask(first)
-    )
-
-    def back(a):  # (K, L, MS, 128) -> (L, m, K)
-        a = a.reshape(K, L, mp)[:, :, :m]
-        return a.transpose(1, 2, 0)
-
-    return G1XYZZ(*(back(c) for c in out))
