@@ -19,6 +19,7 @@ itself. Only Python-int literals are used for constants so the body is
 Pallas-compatible.
 """
 
+import os
 from dataclasses import dataclass
 from functools import cached_property, lru_cache, partial
 from typing import List
@@ -381,6 +382,98 @@ def mont_mul_unrolled(spec: FieldSpec, a, b) -> jnp.ndarray:
     return _stack(cond_sub_mod(spec, limbs, top_carry=top))
 
 
+def _abs_diff_chain(x, y, h: int):
+    """|x - y| over h-limb operands (lists of (batch,) uint32 < 2^16) via a
+    borrow chain + conditional two's-complement negation. Returns
+    (limbs nonneg < 2^16, sign) with sign = 1 where x < y."""
+    borrow = None
+    d = []
+    for k in range(h):
+        t = x[k] + (0x10000 - y[k])
+        if borrow is not None:
+            t = t - borrow
+        d.append(t & 0xFFFF)
+        borrow = 1 - (t >> 16)  # 1 if borrowed
+    s = borrow  # 1 iff x < y; then d holds (x - y) mod 2^(16h)
+    carry = s
+    out = []
+    for k in range(h):
+        nk = (d[k] ^ 0xFFFF) + carry
+        neg = nk & 0xFFFF
+        carry = nk >> 16
+        out.append(jnp.where(s != 0, neg, d[k]))
+    return out, s
+
+
+def _half_prod_cols(x, y, h: int, zero):
+    """Schoolbook h x h limb product as 2h lazy uint32 columns."""
+    cols = [zero] * (2 * h)
+    for i in range(h):
+        xi = x[i]
+        for j in range(h):
+            p = xi * y[j]
+            cols[i + j] = cols[i + j] + (p & 0xFFFF)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
+    return cols
+
+
+def mont_mul_karatsuba(spec: FieldSpec, a, b) -> jnp.ndarray:
+    """mont_mul_unrolled with a one-level Karatsuba product phase:
+    3*(L/2)^2 limb multiplies instead of L^2 (576 -> 432 for Fp) -- the VPU
+    u32-multiply chain is the measured bottleneck of the MSM scan kernel
+    (PERF.md), and multiplies cost ~1.8x what shifts/adds do there.
+
+    The middle term uses the subtractive form z1 = z0 + z2 - (A1-A0)(B1-B0),
+    which keeps every limb product of two < 2^16 values (no u32 overflow)
+    but makes middle columns SIGNED: columns are accumulated in int32
+    two's-complement and every carry uses an arithmetic shift (exact for
+    values divisible by 2^16). Column magnitudes stay < 2^24, far inside
+    int32. Reduction phase and conditional subtract are unchanged except for
+    the signed carries. Bit-exact vs mont_mul_unrolled
+    (tests/test_device_field.py)."""
+    L = spec.n_limbs
+    assert L % 2 == 0
+    h = L // 2
+    n0 = int(spec.n0_inv)
+    m = spec.mod_limb_ints
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+    zero = jnp.zeros(batch, jnp.uint32)
+    A0 = [a[k] for k in range(h)]
+    A1 = [a[h + k] for k in range(h)]
+    B0 = [b[k] for k in range(h)]
+    B1 = [b[h + k] for k in range(h)]
+    z0 = _half_prod_cols(A0, B0, h, zero)
+    z2 = _half_prod_cols(A1, B1, h, zero)
+    dA, sA = _abs_diff_chain(A1, A0, h)
+    dB, sB = _abs_diff_chain(B1, B0, h)
+    zm = _half_prod_cols(dA, dB, h, zero)
+    # (A1-A0)(B1-B0) = (-1)^(sA^sB) * zm; z1 = z0 + z2 - (A1-A0)(B1-B0)
+    add_zm = (sA ^ sB) != 0  # signs differ -> product negative -> zm added
+    i32 = jnp.int32
+    cols = [jnp.zeros(batch, i32) for _ in range(2 * L + 1)]
+    for k in range(2 * h):
+        zmk = zm[k].astype(i32)
+        mid = z0[k].astype(i32) + z2[k].astype(i32)
+        mid = mid + jnp.where(add_zm, zmk, -zmk)
+        cols[k] = cols[k] + z0[k].astype(i32)
+        cols[h + k] = cols[h + k] + mid
+        cols[L + k] = cols[L + k] + z2[k].astype(i32)
+    for k in range(L):
+        # low 16 bits of a wraparound int32 product are exact
+        mk = ((cols[k] * n0) & 0xFFFF).astype(jnp.uint32)
+        for j in range(L):
+            t = mk * m[j]
+            cols[k + j] = cols[k + j] + (t & 0xFFFF).astype(i32)
+            cols[k + j + 1] = cols[k + j + 1] + (t >> 16).astype(i32)
+        cols[k + 1] = cols[k + 1] + (cols[k] >> 16)  # arithmetic shift
+    limbs, carry = carry_propagate(cols[L : 2 * L], L)
+    top = cols[2 * L] + carry
+    out = cond_sub_mod(spec, limbs, top_carry=top)
+    return _stack([l.astype(jnp.uint32) for l in out])
+
+
 def _mxu_mats_np(spec: FieldSpec):
     """Byte-band (Toeplitz) matrices of the FIXED reduction constants, for
     the MXU formulation of the Montgomery reduction (mont_mul_mxu):
@@ -617,7 +710,12 @@ class _UnrolledFieldOps:
     def __enter__(self):
         global mont_mul, add, sub, neg
         self._saved = (mont_mul, add, sub, neg)
-        mont_mul = self._mont if self._mont is not None else mont_mul_unrolled
+        default = (
+            mont_mul_karatsuba
+            if os.environ.get("KZG_TPU_KARATSUBA", "1") == "1"
+            else mont_mul_unrolled
+        )
+        mont_mul = self._mont if self._mont is not None else default
         add = add_unrolled
         sub = sub_unrolled
         neg = neg_unrolled
