@@ -53,6 +53,22 @@ class TestFieldOps:
             == exp
         )
 
+    def test_mont_mul_karatsuba(self, spec, mod):
+        """Karatsuba form bit-exact vs schoolbook, incl. the sign edge cases
+        of the middle-term abs-difference (equal halves, 0, mod-1)."""
+        rng = np.random.default_rng(11)
+        xs = _cases(mod, 8) + [int.from_bytes(rng.bytes(48), "big") % mod for _ in range(24)]
+        # force A1 == A0 (zero difference) and lopsided halves
+        half_bits = 16 * (spec.n_limbs // 2)
+        lo = (1 << half_bits) - 1
+        xs += [(v << half_bits | v) % mod for v in (0, 1, lo)] + [lo, lo << half_bits]
+        ys = xs[::-1]
+        a, b = spec.encode([x % mod for x in xs]), spec.encode([y % mod for y in ys])
+        exp = [(x % mod) * (y % mod) % mod for x, y in zip(xs, ys)]
+        # no jit: XLA:CPU takes minutes to compile the unrolled graph
+        got = spec.decode(fl.mont_mul_karatsuba(spec, a, b))
+        assert got == exp
+
     def test_mul_many_stacking(self, spec, mod):
         xs, ys = _cases(mod, 8), _cases(mod, 8)[::-1]
         a, b = spec.encode(xs), spec.encode(ys)
