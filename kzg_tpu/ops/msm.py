@@ -575,11 +575,15 @@ def build_fixed_base_table(points: G1Aff, c: Optional[int] = None) -> FixedBaseT
 def _build_table_jit(points: G1Aff, c: int):
     w = num_windows(c)
     cur = g1.from_affine(points)
-    rows = [cur]
-    for _ in range(w - 1):
-        cur = _dbl_n(cur, c)
-        rows.append(cur)
-    stacked = G1XYZZ(*(jnp.stack([r[k] for r in rows], axis=1) for k in range(4)))
+
+    # lax.scan keeps the traced graph at ONE c-fold doubling chain however
+    # many windows there are (an unrolled chain is w*c doublings of HLO --
+    # minutes of XLA:CPU compile time for production c).
+    def step(carry, _):
+        return _dbl_n(carry, c), carry
+
+    _, rows = jax.lax.scan(step, cur, None, length=w)
+    stacked = G1XYZZ(*(jnp.moveaxis(rows[k], 0, 1) for k in range(4)))
     aff = g1.to_affine(stacked)
     return aff.x, aff.y, aff.inf
 

@@ -87,7 +87,9 @@ def test_msm_fixed_sharded_matches_oracle():
     n, b = 16, 4
     pts = [G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
     scss = [[rng.randrange(R) for _ in range(n)] for _ in range(b)]
-    table = dmsm.build_fixed_base_table(dg1.affine_from_ints(pts), c=6)
+    # c=4 keeps integrate_buckets on its compact (<=32 buckets) path --
+    # the split path costs ~2 extra minutes of XLA:CPU compile here
+    table = dmsm.build_fixed_base_table(dg1.affine_from_ints(pts), c=4)
     table = dmsm.FixedBaseTable(
         np.asarray(table.x), np.asarray(table.y), np.asarray(table.inf), table.c
     )
