@@ -125,6 +125,22 @@ def verify_cell_kzg_proof_batch(
     return _e7.verify_cell_kzg_proof_batch(commitments, cell_indices, cells, proofs, s)
 
 
+def compute_verify_cell_kzg_proof_batch_challenge(
+    commitments: Sequence[bytes],
+    commitment_indices: Sequence[int],
+    cell_indices: Sequence[int],
+    cells: Sequence[bytes],
+    proofs: Sequence[bytes],
+) -> int:
+    """Fiat-Shamir challenge r for cell batch verification (parity:
+    DAS::compute_verify_cell_kzg_proof_batch_challenge, kzg/src/das.rs:390-452;
+    exported per backend, blst/src/eip_7594.rs:30-97). `commitments` are the
+    DEDUPLICATED commitments; `commitment_indices` maps each cell to its slot."""
+    return _e7.compute_verify_cell_kzg_proof_batch_challenge(
+        commitments, commitment_indices, cell_indices, cells, proofs
+    )
+
+
 def compute_kzg_proof_multi(
     poly_coeffs: Sequence[int], x: int, n: int, s: Settings
 ) -> bytes:

@@ -255,6 +255,35 @@ def recover_cells_and_kzg_proofs(
     return ret, b"".join(rc) + b"".join(rp)
 
 
+def compute_verify_cell_kzg_proof_batch_challenge(
+    commitments: bytes, num_commitments: int, commitment_indices: bytes,
+    cell_indices: bytes, cells: bytes, proofs: bytes, num_cells: int,
+) -> Tuple[int, Optional[bytes]]:
+    """Returns (ret, blst_fr Montgomery LE bytes of the challenge r)
+    (parity: compute_verify_cell_kzg_proof_batch_challenge C export,
+    /root/reference/blst/src/eip_7594.rs:30-97). Stateless: needs no
+    settings handle, exactly like the reference export."""
+    from .eip7594 import compute_verify_cell_kzg_proof_batch_challenge as _f
+
+    if (
+        len(commitments) != 48 * num_commitments
+        or len(commitment_indices) != 8 * num_cells
+        or len(cell_indices) != 8 * num_cells
+        or len(cells) != BYTES_PER_CELL * num_cells
+        or len(proofs) != 48 * num_cells
+    ):
+        return BADARGS, None
+    cm = [commitments[i * 48 : (i + 1) * 48] for i in range(num_commitments)]
+    cidx = list(struct.unpack(f"<{num_cells}Q", commitment_indices)) if num_cells else []
+    idx = list(struct.unpack(f"<{num_cells}Q", cell_indices)) if num_cells else []
+    cl = [cells[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(num_cells)]
+    pf = [proofs[i * 48 : (i + 1) * 48] for i in range(num_cells)]
+    ret, r = _run(_f, cm, cidx, idx, cl, pf)
+    if r is None:
+        return ret, None
+    return ret, _fr_mont_bytes(r)
+
+
 def verify_cell_kzg_proof_batch(
     commitments: bytes, cell_indices: bytes, cells: bytes, proofs: bytes,
     num_cells: int, handle: int,

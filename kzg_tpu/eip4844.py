@@ -52,8 +52,7 @@ def _ninv_mont_const(n: int):
     return FR.const(pow(n, R - 2, R))
 
 
-@jax.jit
-def _eval_barycentric(poly_m: jnp.ndarray, z_m: jnp.ndarray, roots_m: jnp.ndarray):
+def _eval_barycentric_body(poly_m: jnp.ndarray, z_m: jnp.ndarray, roots_m: jnp.ndarray):
     """Barycentric evaluation of blobs at points, all in Montgomery form.
 
     poly_m: (16, B, n) evaluations at bit-reversed roots; z_m: (16, B, 1);
@@ -84,8 +83,7 @@ def _eval_barycentric(poly_m: jnp.ndarray, z_m: jnp.ndarray, roots_m: jnp.ndarra
     return y, inv_diff, was_zero
 
 
-@jax.jit
-def _quotient(poly_m, y_m, z_m, inv_diff, was_zero, roots_m):
+def _quotient_body(poly_m, y_m, z_m, inv_diff, was_zero, roots_m):
     """Quotient polynomial q with q_i = (p_i - y)/(w_i - z), with the
     in-domain branch handled branchlessly
     (parity: compute_kzg_proof_rust, eip_4844.rs:437-519)."""
@@ -104,8 +102,18 @@ def _quotient(poly_m, y_m, z_m, inv_diff, was_zero, roots_m):
 # ---------------------------------------------------------------------------
 # Fused per-op programs: ONE device program per protocol call (uploads one
 # limb array, returns affine/canonical limbs) -- transfers and program
-# switches dominate per-op latency on a remote-attached TPU.
+# switches dominate per-op latency on a remote-attached TPU. FIELD-dominated
+# sections trace in the platform-best form (fl.maybe_unrolled: unrolled
+# dataflow on TPU -- measured 4x on the batch-64 eval -- loop graphs on
+# XLA:CPU). MSM-containing sections stay loop-form: their hot loop is the
+# Pallas kernel, and unrolling the XLA-side glue only blows up compile time.
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _eval_barycentric(poly_m: jnp.ndarray, z_m: jnp.ndarray, roots_m: jnp.ndarray):
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return _eval_barycentric_body(poly_m, z_m, roots_m)
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -115,16 +123,22 @@ def _commit_program(scalars, tab_x, tab_y, tab_inf, c: int):
     return dg1.to_affine(out)
 
 
-@partial(jax.jit, static_argnames=("c",))
-def _prove_program(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
+def _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
     """blob limbs (canonical) + z limbs -> (proof affine, y canonical)."""
-    poly_m = fl.from_canonical(FR, poly_limbs)
-    z_m = fl.from_canonical(FR, z_limbs)
-    y_m, inv_diff, was_zero = _eval_barycentric.__wrapped__(poly_m, z_m, roots_m)
-    q = _quotient.__wrapped__(poly_m, y_m, z_m, inv_diff, was_zero, roots_m)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        poly_m = fl.from_canonical(FR, poly_limbs)
+        z_m = fl.from_canonical(FR, z_limbs)
+        y_m, inv_diff, was_zero = _eval_barycentric_body(poly_m, z_m, roots_m)
+        q = _quotient_body(poly_m, y_m, z_m, inv_diff, was_zero, roots_m)
+        y_can = fl.to_canonical(FR, y_m)
     table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
     proofs = dmsm.msm_fixed_core(table, q)
-    return dg1.to_affine(proofs), fl.to_canonical(FR, y_m)
+    return dg1.to_affine(proofs), y_can
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _prove_program(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
+    return _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c)
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -134,7 +148,7 @@ def _prove_program_packed(polyz, roots_m, tab_x, tab_y, tab_inf, c: int):
     (2L+1+16, B) packed [proof.x | proof.y | inf | y]."""
     poly_limbs = polyz[..., :-1]
     z_limbs = polyz[..., -1:]
-    aff, y = _prove_program.__wrapped__(
+    aff, y = _prove_body(
         poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c
     )
     return jnp.concatenate(
@@ -145,10 +159,36 @@ def _prove_program_packed(polyz, roots_m, tab_x, tab_y, tab_inf, c: int):
 @jax.jit
 def _eval_program(poly_limbs, z_limbs, roots_m):
     """blob limbs + z limbs -> y canonical (16, B, 1)."""
-    poly_m = fl.from_canonical(FR, poly_limbs)
-    z_m = fl.from_canonical(FR, z_limbs)
-    y_m, _, _ = _eval_barycentric.__wrapped__(poly_m, z_m, roots_m)
-    return fl.to_canonical(FR, y_m)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        poly_m = fl.from_canonical(FR, poly_limbs)
+        z_m = fl.from_canonical(FR, z_limbs)
+        y_m, _, _ = _eval_barycentric_body(poly_m, z_m, roots_m)
+        return fl.to_canonical(FR, y_m)
+
+
+def _pack_limbs16(limbs: np.ndarray) -> np.ndarray:
+    """(16, ...) u32 16-bit limbs -> (8, ...) u32 packed pairs: halves the
+    host->device wire size (the 16-bit limbs waste the top halfword; the
+    tunnel moves ~150 MB/s, so a 64-blob batch saves ~55 ms)."""
+    return limbs[0::2] | (limbs[1::2] << 16)
+
+
+def _unpack_limbs16(packed: jnp.ndarray) -> jnp.ndarray:
+    lo = packed & jnp.uint32(0xFFFF)
+    hi = packed >> 16
+    L = 2 * packed.shape[0]
+    return jnp.stack([lo, hi], axis=1).reshape((L,) + packed.shape[1:])
+
+
+@jax.jit
+def _eval_program_packed(packed, z_limbs, roots_m):
+    """Packed-upload barycentric eval: packed (8, B, 4096) u32 limb pairs
+    (canonical) -> y canonical (16, B, 1)."""
+    with fl.maybe_unrolled(fl.unroll_default()):
+        poly_m = fl.from_canonical(FR, _unpack_limbs16(packed))
+        z_m = fl.from_canonical(FR, z_limbs)
+        y_m, _, _ = _eval_barycentric_body(poly_m, z_m, roots_m)
+        return fl.to_canonical(FR, y_m)
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -202,16 +242,22 @@ def _commit_program_sharded(mesh, table: dmsm.FixedBaseTable, scalars):
 
 
 def _eval_program_sharded(mesh, poly_limbs, z_limbs, roots_m):
-    """Barycentric eval with blobs sharded over the mesh."""
+    """Barycentric eval with blobs sharded over the mesh. Field-op form
+    follows the MESH platform (loop graphs on a CPU mesh -- the multi-chip
+    dryrun's XLA:CPU compile budget is the binding constraint)."""
     from jax.experimental.shard_map import shard_map
 
     P = _mesh_specs(mesh)
+    from .ops import pallas_msm
+
+    unroll = pallas_msm.enabled_for(mesh)
 
     def fn(p_, z_, r_):
-        poly_m = fl.from_canonical(FR, p_)
-        z_m = fl.from_canonical(FR, z_)
-        y_m, _, _ = _eval_barycentric.__wrapped__(poly_m, z_m, r_)
-        return fl.to_canonical(FR, y_m)
+        with fl.maybe_unrolled(unroll):
+            poly_m = fl.from_canonical(FR, p_)
+            z_m = fl.from_canonical(FR, z_)
+            y_m, _, _ = _eval_barycentric_body(poly_m, z_m, r_)
+            return fl.to_canonical(FR, y_m)
 
     f = shard_map(
         fn,
@@ -509,54 +555,39 @@ def verify_blob_kzg_proof_batch(
     if n == 1:
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
 
-    zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
     # evals are field-only (no MSM working set): one program for all blobs.
     # The batch axis is padded to a power of two so arbitrary batch sizes
     # reuse a handful of compiled programs (consensus vectors alone carry
-    # ~10 distinct counts).
+    # ~10 distinct counts). The packed upload is dispatched ASYNC before the
+    # Fiat-Shamir hashing so the 8.4 MB/64-blob transfer streams while the
+    # host hashes (the tunnel wire time is the batch path's biggest cost).
     npad = 1 << max(0, (n - 1)).bit_length()
-    poly = jnp.asarray(
-        bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
-    )
+    limbs = bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
+    use_mesh = mesh is not None and npad % mesh.shape["blobs"] == 0
+    if not use_mesh:
+        dev = jax.device_put(_pack_limbs16(limbs))  # async
+    zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
     zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
         :, :, None
     ]
-    if mesh is not None and npad % mesh.shape["blobs"] == 0:
-        ys = _y_to_ints(_eval_program_sharded(mesh, poly, zl, s.roots_brp_mont))[:n]
+    if use_mesh:
+        ys = _y_to_ints(
+            _eval_program_sharded(mesh, jnp.asarray(limbs), zl, s.roots_brp_mont)
+        )[:n]
     else:
-        ys = _y_to_ints(_eval_program(poly, zl, s.roots_brp_mont))[:n]
+        ys = _y_to_ints(_eval_program_packed(dev, zl, s.roots_brp_mont))[:n]
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
 
-    # two fused variable-base MSMs over [proofs | commitments]; the point
-    # axis is padded to npad with identities (infinity points, 0 scalars)
-    # for compile-cache stability
-    pad_pts = [None] * (npad - n)
-    pr = dg1.affine_from_ints(proofs + pad_pts)
-    cm = dg1.affine_from_ints(commitments + pad_pts)
-    pts = dg1.G1Aff(
-        jnp.stack([pr.x, pr.x, cm.x], axis=1),
-        jnp.stack([pr.y, pr.y, cm.y], axis=1),
-        jnp.stack([pr.inf, pr.inf, cm.inf], axis=0),
-    )
-    pad_sc = [0] * (npad - n)
+    # the three r-weighted lincombs run in the NATIVE host core: at n <= a
+    # few hundred points each, a host Pippenger (~10 ms) beats a second
+    # device program whose fence alone costs a ~40 ms tunnel round trip
+    # (parity: the proof/C-y/proof-z lincombs of verify_kzg_proof_batch,
+    # eip_4844.rs:380-435)
     r_times_z = [r * z % R for r, z in zip(r_powers, zs)]
-    sc = np.stack(
-        [
-            fl.ints_to_limbs(list(r_powers) + pad_sc, FR.n_limbs),
-            fl.ints_to_limbs(r_times_z + pad_sc, FR.n_limbs),
-            fl.ints_to_limbs(list(r_powers) + pad_sc, FR.n_limbs),
-        ],
-        axis=1,
-    )
-    c_win = dmsm.default_window(npad, fixed_base=False)
-    if mesh is not None and npad % mesh.shape["blobs"] == 0:
-        aff = _lincomb_program_sharded(
-            mesh, pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win
-        )
-    else:
-        aff = _lincomb_program(pts.x, pts.y, pts.inf, jnp.asarray(sc), c_win)
-    proof_lincomb, proof_z_lincomb, c_lincomb = dg1.affine_to_ints(aff)
+    proof_lincomb = native.g1_msm(proofs, list(r_powers))
+    proof_z_lincomb = native.g1_msm(proofs, r_times_z)
+    c_lincomb = native.g1_msm(commitments, list(r_powers))
 
     ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
     rhs = native.g1_add(

@@ -192,11 +192,12 @@ def _lagrange_to_monomial(blob_m: jnp.ndarray) -> jnp.ndarray:
 def _cells_kernel(blob_m: jnp.ndarray) -> jnp.ndarray:
     """blob (16, B, 4096) Montgomery -> cells (16, B, 8192) canonical, in
     bit-reversed (wire) order."""
-    poly = _lagrange_to_monomial(blob_m)
-    padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
-    ext = dfft(padded)
-    ext = jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    return fl.to_canonical(FR, ext)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        poly = _lagrange_to_monomial(blob_m)
+        padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
+        ext = dfft(padded)
+        ext = jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+        return fl.to_canonical(FR, ext)
 
 
 def _fk20_body(poly_m: jnp.ndarray, table: dmsm.FixedBaseTable) -> dg1.G1XYZZ:
@@ -232,9 +233,10 @@ def _cells_proofs_kernel(blob_m, tab_x, tab_y, tab_inf, c):
     poly = _lagrange_to_monomial(blob_m)
     padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
     ext = dfft(padded)
-    cells = fl.to_canonical(
-        FR, jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    )
+    with fl.maybe_unrolled(fl.unroll_default()):
+        cells = fl.to_canonical(
+            FR, jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+        )
     proofs = _fk20_body(padded, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c))
     return cells, dg1.to_affine(proofs)
 
@@ -296,25 +298,26 @@ def _recover_proofs_kernel(buf, shift, unshift, tab_x, tab_y, tab_inf, c):
     proofs come back affine."""
     from .ops import poly as dpoly
 
-    parts = {}
-    off = 0
-    for name, shape in _recover_shapes():
-        size = int(np.prod(shape))
-        parts[name] = jax.lax.dynamic_slice_in_dim(buf, off, size).reshape(shape)
-        off += size
-    cells_m = fl.from_canonical(FR, parts["cells"])
-    missing_mask = parts["missing"] != 0
-    miss_roots = fl.from_canonical(FR, parts["mroots"])
-    miss_valid = parts["mvalid"] != 0
-    mm = miss_roots.shape[-1]
-    short = dpoly.vanishing_poly(miss_roots[:, None, :], miss_valid[None])
-    vanish_m = jnp.zeros((FR.n_limbs, 1, N_EXT), jnp.uint32)
-    vanish_m = vanish_m.at[..., : mm * CELL + 1 : CELL].set(short)
-    natural_eval, recon_coeff = _recover_core(
-        cells_m, missing_mask, vanish_m, shift, unshift
-    )
-    wire = jnp.take(natural_eval, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    cells_can = fl.to_canonical(FR, wire)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        parts = {}
+        off = 0
+        for name, shape in _recover_shapes():
+            size = int(np.prod(shape))
+            parts[name] = jax.lax.dynamic_slice_in_dim(buf, off, size).reshape(shape)
+            off += size
+        cells_m = fl.from_canonical(FR, parts["cells"])
+        missing_mask = parts["missing"] != 0
+        miss_roots = fl.from_canonical(FR, parts["mroots"])
+        miss_valid = parts["mvalid"] != 0
+        mm = miss_roots.shape[-1]
+        short = dpoly.vanishing_poly(miss_roots[:, None, :], miss_valid[None])
+        vanish_m = jnp.zeros((FR.n_limbs, 1, N_EXT), jnp.uint32)
+        vanish_m = vanish_m.at[..., : mm * CELL + 1 : CELL].set(short)
+        natural_eval, recon_coeff = _recover_core(
+            cells_m, missing_mask, vanish_m, shift, unshift
+        )
+        wire = jnp.take(natural_eval, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+        cells_can = fl.to_canonical(FR, wire)
     proofs = _fk20_body(
         recon_coeff, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
     )
@@ -480,6 +483,49 @@ def recover_cells_and_kzg_proofs_batch(
     return out_cells, out_proofs
 
 
+def compute_verify_cell_kzg_proof_batch_challenge(
+    commitments_bytes: Sequence[bytes],
+    commitment_indices: Sequence[int],
+    cell_indices: Sequence[int],
+    cells_bytes: Sequence[bytes],
+    proofs_bytes: Sequence[bytes],
+) -> int:
+    """Fiat-Shamir challenge r for verify_cell_kzg_proof_batch, as a public
+    API (parity: DAS::compute_verify_cell_kzg_proof_batch_challenge,
+    /root/reference/kzg/src/das.rs:390-452; C export
+    /root/reference/blst/src/eip_7594.rs:30-97). Inputs are validated the
+    way the reference's from_bytes round trip does: commitments/proofs must
+    decompress, cells must be canonical scalars."""
+    cell_count = len(cells_bytes)
+    if (
+        len(commitment_indices) != cell_count
+        or len(cell_indices) != cell_count
+        or len(proofs_bytes) != cell_count
+    ):
+        raise ValueError("Cell count mismatch")
+    if any(len(c) != 48 for c in commitments_bytes) or any(
+        len(p) != 48 for p in proofs_bytes
+    ):
+        raise ValueError("Invalid commitment/proof length")
+    if commitments_bytes:
+        native.g1_decompress_batch(b"".join(commitments_bytes))
+    if proofs_bytes:
+        native.g1_decompress_batch(b"".join(proofs_bytes))
+    for cb in cells_bytes:
+        if len(cb) != BYTES_PER_CELL:
+            raise ValueError("Invalid cell length")
+        _, ok = bs.frs_from_bytes(cb)
+        if not ok.all():
+            raise ValueError("Invalid cell: scalar not canonical")
+    return _batch_challenge_bytes(
+        list(commitments_bytes),
+        list(commitment_indices),
+        list(cell_indices),
+        list(cells_bytes),
+        list(proofs_bytes),
+    )
+
+
 def _interp_poly_core(agg_m: jnp.ndarray, inv_shift_pows: jnp.ndarray):
     """Aggregated column interpolation: per-column iFFT(64) then coset
     unshift (parity: das.rs:778-839). agg_m: (16, 128, 64) Montgomery in
@@ -555,11 +601,12 @@ def _verify_cell_kernel(
         parts["wts"],
         use_pallas,
     )  # (L,)
-    agg_m = _agg_cells_core(
-        parts["cells"], parts["r_limbs"], parts["onehot"] != 0
-    )
-    agg_poly = _interp_poly_core(agg_m, inv_shifts)
-    agg_scalars = fl.to_canonical(FR, agg_poly)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        agg_m = _agg_cells_core(
+            parts["cells"], parts["r_limbs"], parts["onehot"] != 0
+        )
+        agg_poly = _interp_poly_core(agg_m, inv_shifts)
+        agg_scalars = fl.to_canonical(FR, agg_poly)
     table = dmsm.FixedBaseTable(tabx, taby, tabinf, c_fixed)
     interp = dmsm.msm_fixed_core(table, agg_scalars, use_pallas)  # (L,)
     pts = dg1.G1XYZZ(

@@ -47,8 +47,9 @@ L = FR.n_limbs
 def _proof_multi_kernel(num_m, den_m, tab_x, tab_y, tab_inf, c):
     """q = p / (X^n - x^n) then commit q on the monomial base, one device
     program returning the affine proof point."""
-    q = dpoly.poly_fast_div(num_m, den_m)  # (L, 1, len(p) - n)
-    q_can = fl.to_canonical(FR, q)[:, 0, :]
+    with fl.maybe_unrolled(fl.unroll_default()):
+        q = dpoly.poly_fast_div(num_m, den_m)  # (L, 1, len(p) - n)
+        q_can = fl.to_canonical(FR, q)[:, 0, :]
     pad = tab_x.shape[-1] - q_can.shape[-1]
     if pad > 0:  # zero scalars contribute the identity
         q_can = jnp.pad(q_can, [(0, 0), (0, pad)])
@@ -61,9 +62,10 @@ def _interp_commit_kernel(ys_m, xinv_pows_m, tab_x, tab_y, tab_inf, c):
     """Coset interpolation I = commit(unscale(ifft(ys))) as one device
     program (parity: check_proof_multi interpolation,
     kzg_settings.rs:236-277)."""
-    coeffs = difft(ys_m)  # (L, 1, n)
-    unscaled = fl.mont_mul(FR, coeffs, xinv_pows_m)
-    sc = fl.to_canonical(FR, unscaled)[:, 0, :]
+    with fl.maybe_unrolled(fl.unroll_default()):
+        coeffs = difft(ys_m)  # (L, 1, n)
+        unscaled = fl.mont_mul(FR, coeffs, xinv_pows_m)
+        sc = fl.to_canonical(FR, unscaled)[:, 0, :]
     table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
     return dg1.to_affine(dmsm.msm_fixed_core(table, sc))
 

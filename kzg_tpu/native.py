@@ -11,7 +11,7 @@ import ctypes
 import os
 from typing import List, Optional, Tuple
 
-from .constants import P_MOD as P
+from .constants import P_MOD as P, R_MOD
 
 Affine = Optional[Tuple[int, int]]
 
@@ -27,7 +27,7 @@ def _load():
             try:
                 lib = ctypes.CDLL(p)
                 lib.kzgn_version.restype = ctypes.c_int
-                if lib.kzgn_version() != 1:
+                if lib.kzgn_version() != 2:
                     continue
                 lib.kzgn_sha256.argtypes = [
                     ctypes.c_char_p,
@@ -40,6 +40,7 @@ def _load():
                 lib.kzgn_pairings_verify.restype = ctypes.c_int
                 lib.kzgn_g1_mul.restype = ctypes.c_int
                 lib.kzgn_g1_add.restype = ctypes.c_int
+                lib.kzgn_g1_msm.restype = ctypes.c_int
                 return lib
             except OSError:
                 continue
@@ -231,6 +232,35 @@ def g2_add(p, q):
         (int.from_bytes(raw[:48], "big"), int.from_bytes(raw[48:96], "big")),
         (int.from_bytes(raw[96:144], "big"), int.from_bytes(raw[144:192], "big")),
     )
+
+
+def g1_msm(points: List[Affine], scalars: List[int]) -> Affine:
+    """Host MSM (windowed Pippenger in the C++ core): sum scalars[i] * P_i.
+    For the small batch-verification lincombs (n <= a few hundred), where a
+    device round trip would dominate (role parity: verify_kzg_proof_batch's
+    3-MSM fold, /root/reference/kzg/src/eip_4844.rs:380-435)."""
+    n = len(points)
+    if len(scalars) != n:
+        raise ValueError("g1_msm: length mismatch")
+    if _lib is None or n == 0:
+        from .oracle.msm import msm as oracle_msm
+
+        return oracle_msm(points, [s % R_MOD for s in scalars])
+    xy = bytearray(96 * n)
+    infs = bytearray(n)
+    sc = bytearray(32 * n)
+    for i, (pt, s) in enumerate(zip(points, scalars)):
+        b, inf = _point_to_xy(pt)
+        xy[96 * i : 96 * (i + 1)] = b
+        infs[i] = inf
+        sc[32 * i : 32 * (i + 1)] = (s % (1 << 256)).to_bytes(32, "big")
+    out = ctypes.create_string_buffer(96)
+    rc = _lib.kzgn_g1_msm(
+        bytes(xy), bytes(infs), ctypes.c_size_t(n), bytes(sc), out
+    )
+    if rc < 0:
+        raise ValueError("g1_msm: malformed input")
+    return None if rc == 1 else _xy_to_point(out.raw, 0)
 
 
 def g1_add(p: Affine, q: Affine) -> Affine:

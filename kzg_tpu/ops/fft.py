@@ -66,9 +66,10 @@ def _n_inv_mont(n: int) -> tuple:
     return tuple(int(x) for x in fl.int_to_limbs(v, FR.n_limbs))
 
 
-@partial(jax.jit, static_argnames=("inverse",))
-def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Radix-2 FFT along the last axis.
+def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Radix-2 FFT along the last axis (unjitted body; composable inside
+    other traced programs -- it picks up whatever field-op forms are active,
+    see fl.maybe_unrolled).
 
     x: (L, *batch, n) Montgomery-form Fr limbs; n a power of two.
     Semantics parity: fft_fr /root/reference/blst/src/fft_fr.rs:112-154
@@ -91,8 +92,12 @@ def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         x = x.reshape((L,) + batch + (blocks, 2, h))
         a = x[..., 0, :]
         b = x[..., 1, :]
-        tw = jnp.asarray(tws[s]).reshape((L,) + (1,) * (nb + 1) + (h,))
-        t = fl.mont_mul(FR, b, jnp.broadcast_to(tw, b.shape))
+        if s == 0:
+            # stage-0 twiddle is 1 (forward and inverse): identity multiply
+            t = b
+        else:
+            tw = jnp.asarray(tws[s]).reshape((L,) + (1,) * (nb + 1) + (h,))
+            t = fl.mont_mul(FR, b, jnp.broadcast_to(tw, b.shape))
         x = jnp.stack([fl.add(FR, a, t), fl.sub(FR, a, t)], axis=-2)
         x = x.reshape((L,) + batch + (n,))
     if inverse:
@@ -103,21 +108,37 @@ def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return x
 
 
+@partial(jax.jit, static_argnames=("inverse", "unroll"))
+def _fft_jit(x: jnp.ndarray, inverse: bool, unroll: bool) -> jnp.ndarray:
+    with fl.maybe_unrolled(unroll):
+        return fft_body(x, inverse)
+
+
+def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Jitted FFT on the process-default backend; the field-op form follows
+    the platform (unrolled dataflow on TPU, compact loops on XLA:CPU)."""
+    return _fft_jit(x, inverse, fl.unroll_default())
+
+
 def ifft(x: jnp.ndarray) -> jnp.ndarray:
     return fft(x, inverse=True)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("unroll",))
+def _das_extension_jit(evens: jnp.ndarray, unroll: bool) -> jnp.ndarray:
+    with fl.maybe_unrolled(unroll):
+        coeffs = fft_body(evens, inverse=True)
+        padded = jnp.concatenate([coeffs, jnp.zeros_like(coeffs)], axis=-1)
+        full = fft_body(padded)
+    return full[..., 1::2]
+
+
 def das_extension(evens: jnp.ndarray) -> jnp.ndarray:
     """Erasure-coding extension: given evaluations of a degree<n polynomial
     on the n-domain (= even indices of the 2n-domain), return the odd-index
     evaluations (parity: /root/reference/blst/src/data_availability_sampling.rs).
     """
-    n = evens.shape[-1]
-    coeffs = ifft(evens)
-    padded = jnp.concatenate([coeffs, jnp.zeros_like(coeffs)], axis=-1)
-    full = fft(padded)
-    return full[..., 1::2]
+    return _das_extension_jit(evens, fl.unroll_default())
 
 
 # ---------------------------------------------------------------------------

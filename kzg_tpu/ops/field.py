@@ -729,6 +729,31 @@ class _UnrolledFieldOps:
 unrolled_ops = _UnrolledFieldOps
 
 
+def maybe_unrolled(flag: bool):
+    """unrolled_ops() when flag else a no-op context.
+
+    The loop-mode forms keep the traced graph tiny (XLA:CPU compiles them in
+    seconds; the unrolled graphs take minutes) but run each limb phase as a
+    separate while-loop iteration with full HBM round trips -- ~10-30x off
+    the VPU ceiling on TPU, where XLA instead fuses the unrolled dataflow
+    into a handful of elementwise passes. Protocol programs that always
+    execute on the process-default backend wrap their traced bodies in
+    maybe_unrolled(default_backend() != "cpu"); mesh-explicit (shard_map)
+    callers pass their mesh's platform instead (a CPU mesh in a TPU process
+    must keep the loop forms or the multi-chip dryrun compile blows up)."""
+    import contextlib
+
+    return unrolled_ops() if flag else contextlib.nullcontext()
+
+
+def unroll_default() -> bool:
+    """True when the process-default backend wants the unrolled field ops
+    (everything except XLA:CPU)."""
+    if os.environ.get("KZG_TPU_UNROLL"):
+        return os.environ["KZG_TPU_UNROLL"] == "1"
+    return jax.default_backend() != "cpu"
+
+
 def mul_many(spec: FieldSpec, pairs):
     """Compute many independent products with ONE mont_mul call by stacking
     them along the last batch axis. All operands must share a batch shape.

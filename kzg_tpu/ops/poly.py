@@ -159,24 +159,29 @@ def vanishing_poly(roots: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("out_len",))
 def poly_mul_fft_jit(a, b, out_len):
-    return poly_mul_fft(a, b, out_len)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return poly_mul_fft(a, b, out_len)
 
 
 @partial(jax.jit, static_argnames=("out_len",))
 def poly_inverse_jit(a, out_len):
-    return poly_inverse(a, out_len)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return poly_inverse(a, out_len)
 
 
 @jax.jit
 def poly_fast_div_jit(num, den):
-    return poly_fast_div(num, den)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return poly_fast_div(num, den)
 
 
 @jax.jit
 def poly_eval_jit(coeffs, x):
-    return poly_eval(coeffs, x)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return poly_eval(coeffs, x)
 
 
 @jax.jit
 def vanishing_poly_jit(roots, valid):
-    return vanishing_poly(roots, valid)
+    with fl.maybe_unrolled(fl.unroll_default()):
+        return vanishing_poly(roots, valid)

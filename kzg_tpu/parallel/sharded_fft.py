@@ -26,7 +26,8 @@ from jax.experimental.shard_map import shard_map
 
 from ..constants import R_MOD as R, root_of_unity
 from ..ops import field as fl
-from ..ops.fft import fft as local_fft
+from ..ops import pallas_msm
+from ..ops.fft import fft_body
 from ..ops.field import FR
 
 
@@ -77,19 +78,22 @@ def fft_sharded(
     y = x.reshape(FR.n_limbs, n2, n1).transpose(0, 2, 1)  # (16, n1, n2)
     tw = jnp.asarray(_outer_twiddles(n1, n2, inverse))
 
+    # field-op form follows the MESH platform (unrolled dataflow on a TPU
+    # mesh; compact loop graphs on a CPU mesh, where XLA:CPU compile time
+    # is the binding constraint -- see fl.maybe_unrolled)
+    unroll = pallas_msm.enabled_for(mesh)
+
     def shard_fn(yb, twb):
-        # yb: (16, n1/d, n2)
-        a = local_fft(yb, inverse=inverse)          # step 1 (scale handled below)
-        if inverse:
-            # local_fft(inverse) scales by 1/n2; total needed 1/n -- the
-            # remaining 1/n1 comes from the step-4 inverse FFT's own scale.
-            pass
-        b = fl.mont_mul(FR, a, twb)                 # step 2
-        c = jax.lax.all_to_all(b, axis, split_axis=2, concat_axis=1, tiled=True)
-        # c: (16, n1, n2/d) -> transpose so i1 is last
-        ct = c.transpose(0, 2, 1)                   # (16, n2/d, n1)
-        dloc = local_fft(ct, inverse=inverse)       # step 4
-        return dloc
+        with fl.maybe_unrolled(unroll):
+            # yb: (16, n1/d, n2)
+            a = fft_body(yb, inverse=inverse)       # step 1 (scale note below)
+            # inverse: fft_body(inverse) scales by 1/n2; total needed 1/n --
+            # the remaining 1/n1 comes from step 4's own inverse scale.
+            b = fl.mont_mul(FR, a, twb)             # step 2
+            c = jax.lax.all_to_all(b, axis, split_axis=2, concat_axis=1, tiled=True)
+            # c: (16, n1, n2/d) -> transpose so i1 is last
+            ct = c.transpose(0, 2, 1)               # (16, n2/d, n1)
+            return fft_body(ct, inverse=inverse)    # step 4
 
     fn = shard_map(
         shard_fn,

@@ -424,6 +424,32 @@ C_KZG_RET recover_cells_and_kzg_proofs(Cell *recovered_cells, KZGProof *recovere
     return ret;
 }
 
+C_KZG_RET compute_verify_cell_kzg_proof_batch_challenge(
+    ckzg_fr *challenge_out,
+    const Bytes48 *commitment_bytes, uint64_t num_commitments,
+    const uint64_t *commitment_indices, const uint64_t *cell_indices,
+    const Cell *cells, const Bytes48 *proofs_bytes, uint64_t num_cells) {
+    if (!challenge_out ||
+        (num_commitments > 0 && !commitment_bytes) ||
+        (num_cells > 0 &&
+         (!commitment_indices || !cell_indices || !cells || !proofs_bytes)))
+        return C_KZG_BADARGS;
+    memset(challenge_out, 0, sizeof *challenge_out);
+    if (!ensure_python()) return C_KZG_ERROR;
+    Gil gil;
+    PyObject *args = Py_BuildValue(
+        "(y#Ky#y#y#y#K)",
+        (const char *)commitment_bytes, (Py_ssize_t)(num_commitments * 48),
+        (unsigned long long)num_commitments,
+        (const char *)commitment_indices, (Py_ssize_t)(num_cells * 8),
+        (const char *)cell_indices, (Py_ssize_t)(num_cells * 8),
+        (const char *)cells, (Py_ssize_t)(num_cells * sizeof(Cell)),
+        (const char *)proofs_bytes, (Py_ssize_t)(num_cells * 48),
+        (unsigned long long)num_cells);
+    return call_bytes_out("compute_verify_cell_kzg_proof_batch_challenge", args,
+                          (uint8_t *)challenge_out, sizeof *challenge_out);
+}
+
 C_KZG_RET verify_cell_kzg_proof_batch(bool *ok, const Bytes48 *commitments_bytes,
                                       const uint64_t *cell_indices, const Cell *cells,
                                       const Bytes48 *proofs_bytes, uint64_t num_cells,

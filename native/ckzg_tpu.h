@@ -110,6 +110,16 @@ C_KZG_RET verify_cell_kzg_proof_batch(
     const Cell *cells, const Bytes48 *proofs_bytes, uint64_t num_cells,
     const CKZGSettings *s);
 
+/* Fiat-Shamir challenge for cell batch verification; challenge_out is a
+ * blst-layout Montgomery-form scalar (rust-kzg exports this per backend,
+ * blst/src/eip_7594.rs:30-97). commitment_bytes are the DEDUPLICATED
+ * commitments; commitment_indices maps each cell to its slot. */
+C_KZG_RET compute_verify_cell_kzg_proof_batch_challenge(
+    ckzg_fr *challenge_out,
+    const Bytes48 *commitment_bytes, uint64_t num_commitments,
+    const uint64_t *commitment_indices, const uint64_t *cell_indices,
+    const Cell *cells, const Bytes48 *proofs_bytes, uint64_t num_cells);
+
 #ifdef __cplusplus
 }
 #endif

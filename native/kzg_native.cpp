@@ -1918,6 +1918,84 @@ int kzgn_g2_add(const uint8_t p_xy[192], int p_inf, const uint8_t q_xy[192], int
     return 0;
 }
 
-int kzgn_version() { return 1; }
+// Multi-scalar multiplication on G1: out = sum scalars[i] * P_i. Windowed
+// Pippenger over Jacobian coordinates, for the small host-side MSMs of the
+// batch-verification tails (n <= a few hundred) where a device round trip
+// (~40 ms through a remote-attached chip) would dominate the arithmetic
+// (role parity: the 3-MSM fold of verify_kzg_proof_batch,
+// /root/reference/kzg/src/eip_4844.rs:380-435). Returns 1 if the result is
+// the point at infinity, 0 otherwise, -1 on undecodable input.
+int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
+                const uint8_t *scalars_be, uint8_t *out_xy) {
+    struct E4 { uint64_t w[4]; };
+    // window size: minimize ceil(256/c) * (n + 2^(c+1))
+    int c = 4;
+    double best = 1e30;
+    for (int t = 4; t <= 12; t++) {
+        double cost = (double)((256 + t - 1) / t) * ((double)n + (double)(2u << t));
+        if (cost < best) { best = cost; c = t; }
+    }
+    Jac<Fp> *pts = new Jac<Fp>[n ? n : 1];
+    E4 *es = new E4[n ? n : 1];
+    size_t m = 0;
+    bool bad = false;
+    for (size_t i = 0; i < n; i++) {
+        if (inf && inf[i]) continue;
+        Fp x, y;
+        if (!fp_from_be(x, xy + i * 96) || !fp_from_be(y, xy + i * 96 + 48)) {
+            bad = true;
+            break;
+        }
+        for (int k = 0; k < 4; k++) {
+            uint64_t v = 0;
+            for (int j = 0; j < 8; j++)
+                v = (v << 8) | scalars_be[i * 32 + (size_t)(3 - k) * 8 + j];
+            es[m].w[k] = v;
+        }
+        pts[m] = jac_from_affine<Fp>(x, y);
+        m++;
+    }
+    if (bad) {
+        delete[] pts;
+        delete[] es;
+        return -1;
+    }
+    int windows = (256 + c - 1) / c;
+    size_t nbuckets = ((size_t)1 << c) - 1;
+    Jac<Fp> *buckets = new Jac<Fp>[nbuckets];
+    Jac<Fp> acc = jac_identity<Fp>();
+    for (int w = windows - 1; w >= 0; w--) {
+        if (!acc.inf)
+            for (int d = 0; d < c; d++) jac_double(acc, acc);
+        for (size_t b = 0; b < nbuckets; b++) buckets[b] = jac_identity<Fp>();
+        int bit = w * c;
+        for (size_t i = 0; i < m; i++) {
+            uint32_t digit = 0;
+            for (int k = 0; k < c && bit + k < 256; k++)
+                digit |= (uint32_t)((es[i].w[(bit + k) / 64] >> ((bit + k) % 64)) & 1)
+                         << k;
+            if (digit) jac_add(buckets[digit - 1], buckets[digit - 1], pts[i]);
+        }
+        Jac<Fp> running = jac_identity<Fp>(), total = jac_identity<Fp>();
+        for (size_t d = nbuckets; d-- > 0;) {
+            jac_add(running, running, buckets[d]);
+            jac_add(total, total, running);
+        }
+        jac_add(acc, acc, total);
+    }
+    delete[] buckets;
+    delete[] pts;
+    delete[] es;
+    Fp rx, ry;
+    if (!jac_to_affine(rx, ry, acc)) {
+        memset(out_xy, 0, 96);
+        return 1;
+    }
+    fp_to_be(out_xy, rx);
+    fp_to_be(out_xy + 48, ry);
+    return 0;
+}
+
+int kzgn_version() { return 2; }
 
 }  // extern "C"

@@ -380,6 +380,51 @@ int main(int argc, char **argv) {
                                                CELLS_PER_EXT_BLOB_ / 2,
                                                &s) == C_KZG_BADARGS,
                   "recover(NULL out) -> BADARGS");
+
+            /* challenge export (blst/src/eip_7594.rs:30-97): deterministic,
+             * nonzero, input-sensitive, validates its inputs */
+            {
+                Bytes48 vc1[1];
+                uint64_t cidx[2] = {0, 0};
+                uint64_t vidx2[2] = {0, 77};
+                Cell vcell2[2];
+                Bytes48 vproof2[2];
+                memcpy(&vc1[0], &c, 48);
+                vcell2[0] = cells[0];
+                vcell2[1] = cells[77];
+                memcpy(&vproof2[0], &cproofs[0], 48);
+                memcpy(&vproof2[1], &cproofs[77], 48);
+                ckzg_fr r1, r2;
+                ret = compute_verify_cell_kzg_proof_batch_challenge(
+                    &r1, vc1, 1, cidx, vidx2, vcell2, vproof2, 2);
+                CHECK(ret == C_KZG_OK, "batch challenge -> OK");
+                CHECK(r1.l[0] | r1.l[1] | r1.l[2] | r1.l[3],
+                      "batch challenge nonzero");
+                ret = compute_verify_cell_kzg_proof_batch_challenge(
+                    &r2, vc1, 1, cidx, vidx2, vcell2, vproof2, 2);
+                CHECK(ret == C_KZG_OK && memcmp(&r1, &r2, sizeof r1) == 0,
+                      "batch challenge deterministic");
+                vidx2[1] = 78; /* different cell index -> different r */
+                ret = compute_verify_cell_kzg_proof_batch_challenge(
+                    &r2, vc1, 1, cidx, vidx2, vcell2, vproof2, 2);
+                CHECK(ret == C_KZG_OK && memcmp(&r1, &r2, sizeof r1) != 0,
+                      "batch challenge input-sensitive");
+                vidx2[1] = 77;
+                CHECK(compute_verify_cell_kzg_proof_batch_challenge(
+                          NULL, vc1, 1, cidx, vidx2, vcell2, vproof2, 2) ==
+                          C_KZG_BADARGS,
+                      "batch challenge(NULL out) -> BADARGS");
+                CHECK(compute_verify_cell_kzg_proof_batch_challenge(
+                          &r2, vc1, 1, NULL, vidx2, vcell2, vproof2, 2) ==
+                          C_KZG_BADARGS,
+                      "batch challenge(NULL indices) -> BADARGS");
+                Bytes48 junkp[2];
+                memset(junkp, 0xff, sizeof junkp);
+                CHECK(compute_verify_cell_kzg_proof_batch_challenge(
+                          &r2, vc1, 1, cidx, vidx2, vcell2, junkp, 2) ==
+                          C_KZG_BADARGS,
+                      "batch challenge(undecodable proofs) -> BADARGS");
+            }
         }
     }
 

@@ -68,6 +68,30 @@ def test_recover_cells_and_kzg_proofs(device_settings, all_vectors):
     assert not failures, failures
 
 
+def test_batch_challenge(all_vectors):
+    """Public challenge API vs the consensus vectors (parity:
+    compute_verify_cell_kzg_proof_batch_challenge, kzg/src/das.rs:390-452)."""
+    failures = []
+    for name, inp, out in _mixed(
+        "compute_verify_cell_kzg_proof_batch_challenge", 4, all_vectors
+    ):
+        try:
+            cells = [b"".join(unhex(e) for e in cell) for cell in inp["cosets_evals"]]
+            got = E.compute_verify_cell_kzg_proof_batch_challenge(
+                [unhex(c) for c in inp["commitments"]],
+                inp["commitment_indices"],
+                inp["cell_indices"],
+                cells,
+                [unhex(p) for p in inp["proofs"]],
+            )
+            ok = out is not None and got.to_bytes(32, "big") == unhex(out)
+        except (ValueError, KeyError):
+            ok = out is None
+        if not ok:
+            failures.append(name)
+    assert not failures, failures
+
+
 def test_verify_cell_kzg_proof_batch(device_settings, all_vectors):
     failures = []
     for name, inp, out in _mixed("verify_cell_kzg_proof_batch", 4, all_vectors):
