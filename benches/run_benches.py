@@ -100,11 +100,32 @@ def main():
     )
     table = s.lagrange_table
 
+    def run_pipelined(name, op, iters=None):
+        """Device throughput per op: dispatch `iters` programs into the
+        in-order queue, fence ONCE on the last (PERF.md "Measurement
+        integrity") -- the honest per-op number once the ~40 ms tunnel
+        round trip amortizes (a locally-attached chip pays no such RTT).
+        Recorded as <name>.ms_pipelined next to the fenced latency."""
+        if want and name not in want:
+            return
+        iters = iters or max(4, args.iters)
+        op()  # warm
+        t0 = time.perf_counter()
+        outs = [op() for _ in range(iters)]
+        fence(outs[-1])
+        dt = (time.perf_counter() - t0) / iters
+        if name in results:
+            results[name]["ms_pipelined"] = dt * 1e3
+        else:
+            results[name] = {"ms_pipelined": dt * 1e3}
+        print(f"{name:36s} {dt*1e3:10.3f} ms (pipelined)", file=sys.stderr)
+
     run(
         f"g1_lincomb_{n}",
         lambda: (),
         lambda: fence(dmsm.msm_fixed(table, sc)),
     )
+    run_pipelined(f"g1_lincomb_{n}", lambda: dmsm.msm_fixed(table, sc))
 
     # micro: fft_fr scale 15
     vals = FR.encode([int.from_bytes(rng.bytes(32), "big") % R for _ in range(1 << 15)])
@@ -113,6 +134,7 @@ def main():
         lambda: (),
         lambda: fence(dfft.fft(vals)),
     )
+    run_pipelined("fft_fr_scale15", lambda: dfft.fft(vals))
 
     # protocol ops
     commitment = kzg.blob_to_kzg_commitment(blob, s)
@@ -175,6 +197,39 @@ def main():
             [commitment] * 128, list(range(128)), cells, cell_proofs, s
         ),
     )
+
+    # G1 FFT capability demonstration at the reference's bench scales
+    # (blst fft_g1: 18.8 s single-core / ~5 s 16-core at 2^15, BASELINE.md;
+    # bench shapes from /root/reference/kzg-bench/src/benches/fft.rs)
+    if not want or "fft_g1" in want:
+        from kzg_tpu.ops import g1 as dg1
+        from kzg_tpu.ops.g1fft import fft_g1_standalone
+        from kzg_tpu.oracle.kzg import generate_trusted_setup
+
+        g1pts, _ = generate_trusted_setup(4096, 31337)
+        g1fft_res = {}
+        for p in [int(x) for x in os.environ.get(
+            "BENCH_G1FFT_POWS", "12,15"
+        ).split(",")]:
+            m = 1 << p
+            base = dg1.from_affine(
+                dg1.affine_from_ints((g1pts * ((m + 4095) // 4096))[:m])
+            )
+            fence(fft_g1_standalone(base))  # compile + warm
+            t0 = time.perf_counter()
+            fence(fft_g1_standalone(base))
+            dt = time.perf_counter() - t0
+            base1 = 18.8e3 * (m * p) / ((1 << 15) * 15)  # O(n log n) scaling
+            g1fft_res[f"2^{p}"] = {
+                "ms": dt * 1e3,
+                "vs_blst_1core_scaled": base1 / (dt * 1e3),
+            }
+            print(
+                f"fft_g1 2^{p:<2d} {dt*1e3:10.1f} ms "
+                f"({base1/(dt*1e3):.1f}x blst-1c scaled)",
+                file=sys.stderr,
+            )
+        results["fft_g1"] = g1fft_res
 
     # MSM size-scaling sweep (BASELINE.md north-star curve; parity:
     # BENCH_NPOW sweep, kzg-bench/src/benches/lincomb.rs:25-27). Variable

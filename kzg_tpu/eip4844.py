@@ -137,15 +137,12 @@ def _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
 
 
 @partial(jax.jit, static_argnames=("c",))
-def _prove_program(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
-    return _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c)
-
-
-@partial(jax.jit, static_argnames=("c",))
-def _prove_program_packed(polyz, roots_m, tab_x, tab_y, tab_inf, c: int):
+def _prove_program_packed(polyz_packed, roots_m, tab_x, tab_y, tab_inf, c: int):
     """One-upload / one-download prove step for the remote-attached chip:
-    polyz = [poly | z] concatenated on the last axis (16, B, 4097); returns
-    (2L+1+16, B) packed [proof.x | proof.y | inf | y]."""
+    polyz_packed = packed limb pairs of [poly | z] concatenated on the last
+    axis ((8, B, 4097) u32, half the wire size); returns (2L+1+16, B) packed
+    [proof.x | proof.y | inf | y]."""
+    polyz = _unpack_limbs16(polyz_packed)
     poly_limbs = polyz[..., :-1]
     z_limbs = polyz[..., -1:]
     aff, y = _prove_body(
@@ -189,6 +186,48 @@ def _eval_program_packed(packed, z_limbs, roots_m):
         z_m = fl.from_canonical(FR, z_limbs)
         y_m, _, _ = _eval_barycentric_body(poly_m, z_m, roots_m)
         return fl.to_canonical(FR, y_m)
+
+
+def _words_to_limbs(words: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw wire image -> limbs + canonicality, ON DEVICE.
+
+    words: (B, n, 8) u32 = the blob bytes read as host-little-endian u32
+    words (np.frombuffer, zero host conversion). Each scalar is 32 bytes
+    big-endian: byte m of word j is (w[j] >> 8(m%4)) & 0xff, and 16-bit
+    limb k (little-endian limb order) = byte[30-2k] << 8 | byte[31-2k].
+    Returns ((16, B, n) canonical limbs, (B, n) bool canonical-range mask).
+    (parity: the per-element from_bytes validation of bytes_to_blob,
+    /root/reference/kzg/src/eip_4844.rs:867-880)"""
+    limbs = []
+    for k in range(FR.n_limbs):
+        mhi, mlo = 30 - 2 * k, 31 - 2 * k
+        bhi = (words[..., mhi // 4] >> (8 * (mhi % 4))) & jnp.uint32(0xFF)
+        blo = (words[..., mlo // 4] >> (8 * (mlo % 4))) & jnp.uint32(0xFF)
+        limbs.append((bhi << 8) | blo)
+    x = jnp.stack(limbs, axis=0)  # (16, B, n)
+    lt = jnp.zeros(x.shape[1:], bool)
+    eq = jnp.ones(x.shape[1:], bool)
+    for k in range(FR.n_limbs - 1, -1, -1):
+        m = jnp.uint32(int(FR.mod_limbs[k]))
+        lt = lt | (eq & (x[k] < m))
+        eq = eq & (x[k] == m)
+    return x, lt
+
+
+@jax.jit
+def _eval_program_bytes(words, z_limbs, roots_m):
+    """Raw-bytes-upload barycentric eval: words (B, 4096, 8) u32 wire image
+    -> packed [ok | y] ((1 + 16), B): the byte->limb unpack and canonicality
+    check run on device, so the host does ZERO per-element work before the
+    upload (the 8.4 MB/64-blob transfer is the batch path's wire floor)."""
+    with fl.maybe_unrolled(fl.unroll_default()):
+        poly, ok = _words_to_limbs(words)
+        poly_m = fl.from_canonical(FR, poly)
+        z_m = fl.from_canonical(FR, z_limbs)
+        y_m, _, _ = _eval_barycentric_body(poly_m, z_m, roots_m)
+        y = fl.to_canonical(FR, y_m)  # (16, B, 1)
+        okb = ok.all(axis=-1).astype(jnp.uint32)  # (B,)
+        return jnp.concatenate([okb[None], y[..., 0]], axis=0)
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -412,15 +451,15 @@ def compute_kzg_proof(
 ) -> Tuple[bytes, bytes]:
     z = bs.fr_from_bytes(z_bytes)  # (16, 1)
     t = s.lagrange_table
-    # one upload ([poly | z] concatenated) and one download (packed
-    # proof+y): each separate transfer through a remote-attached chip costs
-    # a full round trip
+    # one packed upload ([poly | z] concatenated, limb pairs packed to u32)
+    # and one download (packed proof+y): each separate transfer through a
+    # remote-attached chip costs a full round trip
     polyz = np.concatenate(
         [bs.blob_to_scalars(blob_bytes)[:, None, :], z[:, None, :]], axis=-1
     )
     packed = np.asarray(
         _prove_program_packed(
-            jnp.asarray(polyz), s.roots_brp_mont, t.x, t.y, t.inf, t.c
+            jnp.asarray(_pack_limbs16(polyz)), s.roots_brp_mont, t.x, t.y, t.inf, t.c
         )
     )
     from .ops.field import FP
@@ -450,15 +489,37 @@ def compute_blob_kzg_proof_batch(
     native.g1_decompress_batch(b"".join(commitments))  # validate (raises)
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments)]
     t = s.lagrange_table
-    pts: List = []
+    # dispatch every chunk's packed upload + program before fencing any:
+    # the in-order device queue pipelines chunk k+1's transfer under chunk
+    # k's compute, and the single read-back per chunk comes at the end
+    outs = []
     for lo in range(0, len(blobs), BATCH_CHUNK):
         chunk = list(blobs)[lo : lo + BATCH_CHUNK]
-        poly = jnp.asarray(bs.blobs_to_scalars(chunk))
-        zl = jnp.asarray(
-            fl.ints_to_limbs(zs[lo : lo + BATCH_CHUNK], FR.n_limbs)
-        )[:, :, None]
-        aff, _ = _prove_program(poly, zl, s.roots_brp_mont, t.x, t.y, t.inf, t.c)
-        pts.extend(dg1.affine_to_ints(aff))
+        polyz = np.concatenate(
+            [
+                bs.blobs_to_scalars(chunk),
+                fl.ints_to_limbs(zs[lo : lo + BATCH_CHUNK], FR.n_limbs)[:, :, None],
+            ],
+            axis=-1,
+        )
+        outs.append(
+            _prove_program_packed(
+                jnp.asarray(_pack_limbs16(polyz)),
+                s.roots_brp_mont, t.x, t.y, t.inf, t.c,
+            )
+        )
+    from .ops.field import FP
+
+    L = FP.n_limbs
+    pts: List = []
+    for packed in outs:
+        arr = np.asarray(packed)
+        xs = FP.decode(arr[:L])
+        ys_ = FP.decode(arr[L : 2 * L])
+        infs = arr[2 * L] != 0
+        pts.extend(
+            None if infs[b] else (xs[b], ys_[b]) for b in range(arr.shape[1])
+        )
     return native.g1_compress_batch(pts)
 
 
@@ -558,14 +619,25 @@ def verify_blob_kzg_proof_batch(
     # evals are field-only (no MSM working set): one program for all blobs.
     # The batch axis is padded to a power of two so arbitrary batch sizes
     # reuse a handful of compiled programs (consensus vectors alone carry
-    # ~10 distinct counts). The packed upload is dispatched ASYNC before the
-    # Fiat-Shamir hashing so the 8.4 MB/64-blob transfer streams while the
-    # host hashes (the tunnel wire time is the batch path's biggest cost).
+    # ~10 distinct counts). The RAW blob bytes upload ASYNC before the
+    # Fiat-Shamir hashing (the 8.4 MB/64-blob wire time is the batch path's
+    # floor) and the byte->limb unpack + canonicality check run on device.
+    for b in blobs:
+        if len(b) != BYTES_PER_BLOB:
+            raise ValueError(
+                f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+                f"got {len(b)}"
+            )
     npad = 1 << max(0, (n - 1)).bit_length()
-    limbs = bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
     use_mesh = mesh is not None and npad % mesh.shape["blobs"] == 0
-    if not use_mesh:
-        dev = jax.device_put(_pack_limbs16(limbs))  # async
+    if use_mesh:
+        limbs = bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
+    else:
+        wire = b"".join(blobs) + blobs[0] * (npad - n)
+        words = np.frombuffer(wire, dtype=np.uint32).reshape(
+            npad, FIELD_ELEMENTS_PER_BLOB, 8
+        )
+        dev = jax.device_put(words)  # async; streams under the hashing below
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
     zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
         :, :, None
@@ -575,24 +647,25 @@ def verify_blob_kzg_proof_batch(
             _eval_program_sharded(mesh, jnp.asarray(limbs), zl, s.roots_brp_mont)
         )[:n]
     else:
-        ys = _y_to_ints(_eval_program_packed(dev, zl, s.roots_brp_mont))[:n]
+        out = np.asarray(_eval_program_bytes(dev, zl, s.roots_brp_mont))
+        if not out[0, :n].all():
+            raise ValueError("Invalid blob: scalar is not canonical")
+        ys = fl.limbs_to_ints(out[1:, :n])
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
 
-    # the three r-weighted lincombs run in the NATIVE host core: at n <= a
-    # few hundred points each, a host Pippenger (~10 ms) beats a second
-    # device program whose fence alone costs a ~40 ms tunnel round trip
+    # the r-weighted lincombs run in the NATIVE host core: at n <= a few
+    # hundred points, a host Pippenger (~10 ms) beats a second device
+    # program whose fence alone costs a ~40 ms tunnel round trip. The
+    # right-hand side folds into ONE MSM over [commitments | proofs | G]
     # (parity: the proof/C-y/proof-z lincombs of verify_kzg_proof_batch,
-    # eip_4844.rs:380-435)
+    # eip_4844.rs:380-435).
     r_times_z = [r * z % R for r, z in zip(r_powers, zs)]
-    proof_lincomb = native.g1_msm(proofs, list(r_powers))
-    proof_z_lincomb = native.g1_msm(proofs, r_times_z)
-    c_lincomb = native.g1_msm(commitments, list(r_powers))
-
     ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
-    rhs = native.g1_add(
-        native.g1_add(c_lincomb, proof_z_lincomb),
-        G1.affine_neg(native.g1_mul(G1_GENERATOR, ry_sum)),
+    proof_lincomb = native.g1_msm(proofs, list(r_powers))
+    rhs = native.g1_msm(
+        commitments + proofs + [G1_GENERATOR],
+        list(r_powers) + r_times_z + [(R - ry_sum) % R],
     )
     return native.pairings_verify(
         proof_lincomb, s.oracle.g2_monomial[1], rhs, G2_GENERATOR

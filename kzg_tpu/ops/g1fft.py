@@ -286,6 +286,27 @@ def fft_g1(p: G1XYZZ, inverse: bool = False) -> G1XYZZ:
     return p
 
 
+@partial(jax.jit, static_argnames=("inverse", "use_pallas", "unroll"))
+def _fft_g1_jit(x, y, zz, zzz, inverse: bool, use_pallas: bool, unroll: bool):
+    import contextlib
+
+    adds = g1.tiled_pallas_adds() if use_pallas else contextlib.nullcontext()
+    with adds, fl.maybe_unrolled(unroll):
+        return tuple(fft_g1(G1XYZZ(x, y, zz, zzz), inverse))
+
+
+def fft_g1_standalone(p: G1XYZZ, inverse: bool = False) -> G1XYZZ:
+    """Jitted standalone G1 FFT on the process-default backend, with the
+    platform-best point/field op forms (Pallas tiled adds + unrolled limb
+    dataflow on TPU). This is the large-n capability path the reference
+    benches at scale 12-15 (blst fft_g1: 18.8 s single-core at 2^15,
+    BASELINE.md) -- FK20 itself stays at size 128 by design."""
+    from . import pallas_msm
+
+    use = pallas_msm.enabled()
+    return G1XYZZ(*_fft_g1_jit(p.x, p.y, p.zz, p.zzz, inverse, use, fl.unroll_default()))
+
+
 def _ifft_scale(p: G1XYZZ, ninv: int) -> G1XYZZ:
     """Scale every lane by the fixed scalar 1/n."""
     n = p.x.shape[-1]

@@ -35,6 +35,18 @@ def test_fft_g1_roundtrip():
     assert dg1.xyzz_to_ints(roundtrip(p)) == pts
 
 
+def test_fft_g1_standalone_matches_oracle():
+    """The jitted large-n entry point (fft_g1_standalone) is bit-exact vs
+    the oracle at n=16 (the 2^12-2^15 bench path, BASELINE.md fft_g1)."""
+    from kzg_tpu.ops.g1fft import fft_g1_standalone
+
+    n = 16
+    pts = [G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+    p = dg1.from_affine(dg1.affine_from_ints(pts))
+    out = fft_g1_standalone(p)
+    assert dg1.xyzz_to_ints(out) == oracle_fft_g1(pts)
+
+
 def test_signed_digit_host_encoding_exact():
     """Regression: the top-window carry must never be dropped (the c=5
     encoding loses 2^255 for ~45% of scalars with ceil(255/c) windows)."""
