@@ -158,6 +158,12 @@ def x_ext_fft_dims(handle: int) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
+def _b(x: Optional[bytes]) -> bytes:
+    """NULL C pointers arrive as None (Py_BuildValue y# with a null ptr);
+    with a zero count they are legal and mean 'empty'."""
+    return x if x is not None else b""
+
+
 def _run(fn, *args) -> Tuple[int, Optional[bytes]]:
     try:
         return OK, fn(*args)
@@ -214,6 +220,7 @@ def verify_blob_kzg_proof_batch(
     """Flat concatenated inputs (n blobs / 48-byte commitments / proofs)."""
     from . import api
 
+    blobs, commitments, proofs = _b(blobs), _b(commitments), _b(proofs)
     if len(blobs) != n * BYTES_PER_BLOB or len(commitments) != n * 48 or len(proofs) != n * 48:
         return BADARGS, 0
     bl = [blobs[i * BYTES_PER_BLOB : (i + 1) * BYTES_PER_BLOB] for i in range(n)]
@@ -265,6 +272,8 @@ def compute_verify_cell_kzg_proof_batch_challenge(
     settings handle, exactly like the reference export."""
     from .eip7594 import compute_verify_cell_kzg_proof_batch_challenge as _f
 
+    commitments, commitment_indices = _b(commitments), _b(commitment_indices)
+    cell_indices, cells, proofs = _b(cell_indices), _b(cells), _b(proofs)
     if (
         len(commitments) != 48 * num_commitments
         or len(commitment_indices) != 8 * num_cells
@@ -290,6 +299,8 @@ def verify_cell_kzg_proof_batch(
 ) -> Tuple[int, int]:
     from . import api
 
+    commitments, cell_indices = _b(commitments), _b(cell_indices)
+    cells, proofs = _b(cells), _b(proofs)
     if (
         len(commitments) != 48 * num_cells
         or len(cell_indices) != 8 * num_cells

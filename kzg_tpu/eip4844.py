@@ -123,6 +123,20 @@ def _commit_program(scalars, tab_x, tab_y, tab_inf, c: int):
     return dg1.to_affine(out)
 
 
+@partial(jax.jit, static_argnames=("c",))
+def _commit_program_bytes(words, tab_x, tab_y, tab_inf, c: int):
+    """Raw-bytes commitment program: words (B, 4096, 8) u32 wire image ->
+    packed [ok | x | y | inf] ((2 + 2*LP), B). Byte->limb unpack and
+    canonicality validation on device; ONE upload, ONE read-back."""
+    scalars, ok = _words_to_limbs(words)
+    okb = ok.all(axis=-1).astype(jnp.uint32)
+    table = dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
+    aff = dg1.to_affine(dmsm.msm_fixed_core(table, scalars))
+    return jnp.concatenate(
+        [okb[None], aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+    )
+
+
 def _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
     """blob limbs (canonical) + z limbs -> (proof affine, y canonical)."""
     with fl.maybe_unrolled(fl.unroll_default()):
@@ -438,11 +452,32 @@ def blob_to_kzg_commitment_batch(
         scalars = _commit_scalars(blobs + [blobs[0]] * pad)
         aff = _commit_program_sharded(mesh, t, scalars)
         return native.g1_compress_batch(dg1.affine_to_ints(aff)[: len(blobs)])
-    pts: List = []
-    for chunk in _chunks(list(blobs)):
-        scalars = _commit_scalars(chunk)  # (16, B, 4096) canonical
-        aff = _commit_program(scalars, t.x, t.y, t.inf, t.c)
-        pts.extend(dg1.affine_to_ints(aff))
+    blobs = list(blobs)
+    for b in blobs:
+        if len(b) != BYTES_PER_BLOB:
+            raise ValueError(
+                f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+                f"got {len(b)}"
+            )
+    # dispatch every chunk's raw-bytes upload + program before fencing any
+    # (the in-order queue pipelines transfers under compute); ONE device
+    # concat + ONE read-back for the whole batch
+    outs = []
+    for chunk in _chunks(blobs):
+        words = np.frombuffer(b"".join(chunk), dtype=np.uint32).reshape(
+            len(chunk), FIELD_ELEMENTS_PER_BLOB, 8
+        )
+        outs.append(_commit_program_bytes(jax.device_put(words), t.x, t.y, t.inf, t.c))
+    packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))
+    if not packed[0].all():
+        raise ValueError("Invalid blob: scalar is not canonical")
+    from .ops.field import FP
+
+    L = FP.n_limbs
+    xs = FP.decode(packed[1 : L + 1])
+    ys_ = FP.decode(packed[L + 1 : 2 * L + 1])
+    infs = packed[2 * L + 1] != 0
+    pts = [None if infs[b] else (xs[b], ys_[b]) for b in range(len(blobs))]
     return native.g1_compress_batch(pts)
 
 
@@ -511,15 +546,11 @@ def compute_blob_kzg_proof_batch(
     from .ops.field import FP
 
     L = FP.n_limbs
-    pts: List = []
-    for packed in outs:
-        arr = np.asarray(packed)
-        xs = FP.decode(arr[:L])
-        ys_ = FP.decode(arr[L : 2 * L])
-        infs = arr[2 * L] != 0
-        pts.extend(
-            None if infs[b] else (xs[b], ys_[b]) for b in range(arr.shape[1])
-        )
+    arr = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))
+    xs = FP.decode(arr[:L])
+    ys_ = FP.decode(arr[L : 2 * L])
+    infs = arr[2 * L] != 0
+    pts = [None if infs[b] else (xs[b], ys_[b]) for b in range(arr.shape[1])]
     return native.g1_compress_batch(pts)
 
 
