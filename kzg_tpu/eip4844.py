@@ -138,8 +138,11 @@ def _commit_program_bytes(words, tab_x, tab_y, tab_inf, c: int):
 
 
 def _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
-    """blob limbs (canonical) + z limbs -> (proof affine, y canonical)."""
-    with fl.maybe_unrolled(fl.unroll_default()):
+    """blob limbs (canonical) + z limbs -> (proof affine, y canonical).
+
+    The unrolled field form only pays its (non-persistable, per-process)
+    remote-compile bill at large batch; small batches keep the loop form."""
+    with fl.maybe_unrolled(fl.unroll_default() and poly_limbs.shape[1] >= 32):
         poly_m = fl.from_canonical(FR, poly_limbs)
         z_m = fl.from_canonical(FR, z_limbs)
         y_m, inv_diff, was_zero = _eval_barycentric_body(poly_m, z_m, roots_m)
@@ -234,7 +237,7 @@ def _eval_program_bytes(words, z_limbs, roots_m):
     -> packed [ok | y] ((1 + 16), B): the byte->limb unpack and canonicality
     check run on device, so the host does ZERO per-element work before the
     upload (the 8.4 MB/64-blob transfer is the batch path's wire floor)."""
-    with fl.maybe_unrolled(fl.unroll_default()):
+    with fl.maybe_unrolled(fl.unroll_default() and words.shape[0] >= 32):
         poly, ok = _words_to_limbs(words)
         poly_m = fl.from_canonical(FR, poly)
         z_m = fl.from_canonical(FR, z_limbs)
@@ -423,12 +426,21 @@ def compute_r_powers(commitments_b, zs, ys, proofs_b) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-BATCH_CHUNK = 8  # blobs per device program (bounds scan working-set memory)
+BATCH_CHUNK = 64  # blobs per device program (bounds scan working-set memory)
 
 
 def _chunks(seq, k=BATCH_CHUNK):
     for i in range(0, len(seq), k):
         yield seq[i : i + k]
+
+
+def _pad_pow2(chunk, filler):
+    """Pad a chunk to the next power of two with a duplicate filler element
+    so arbitrary batch sizes reuse a handful of compiled programs (remote-
+    compiled TPU executables are not persistable across processes; each
+    distinct shape costs a fresh compile)."""
+    m = 1 << max(0, (len(chunk) - 1)).bit_length()
+    return list(chunk) + [filler] * (m - len(chunk))
 
 
 def blob_to_kzg_commitment(blob_bytes: bytes, s: DeviceKZGSettings) -> bytes:
@@ -462,21 +474,25 @@ def blob_to_kzg_commitment_batch(
     # dispatch every chunk's raw-bytes upload + program before fencing any
     # (the in-order queue pipelines transfers under compute); ONE device
     # concat + ONE read-back for the whole batch
-    outs = []
+    outs, keep = [], []
+    off = 0
     for chunk in _chunks(blobs):
-        words = np.frombuffer(b"".join(chunk), dtype=np.uint32).reshape(
-            len(chunk), FIELD_ELEMENTS_PER_BLOB, 8
+        padded = _pad_pow2(chunk, chunk[0])
+        words = np.frombuffer(b"".join(padded), dtype=np.uint32).reshape(
+            len(padded), FIELD_ELEMENTS_PER_BLOB, 8
         )
         outs.append(_commit_program_bytes(jax.device_put(words), t.x, t.y, t.inf, t.c))
+        keep.extend(range(off, off + len(chunk)))
+        off += len(padded)
     packed = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))
-    if not packed[0].all():
+    if not packed[0, keep].all():
         raise ValueError("Invalid blob: scalar is not canonical")
     from .ops.field import FP
 
     L = FP.n_limbs
-    xs = FP.decode(packed[1 : L + 1])
-    ys_ = FP.decode(packed[L + 1 : 2 * L + 1])
-    infs = packed[2 * L + 1] != 0
+    xs = FP.decode(packed[1 : L + 1, keep])
+    ys_ = FP.decode(packed[L + 1 : 2 * L + 1, keep])
+    infs = packed[2 * L + 1, keep] != 0
     pts = [None if infs[b] else (xs[b], ys_[b]) for b in range(len(blobs))]
     return native.g1_compress_batch(pts)
 
@@ -527,13 +543,17 @@ def compute_blob_kzg_proof_batch(
     # dispatch every chunk's packed upload + program before fencing any:
     # the in-order device queue pipelines chunk k+1's transfer under chunk
     # k's compute, and the single read-back per chunk comes at the end
-    outs = []
+    outs, keep = [], []
+    off = 0
     for lo in range(0, len(blobs), BATCH_CHUNK):
         chunk = list(blobs)[lo : lo + BATCH_CHUNK]
+        zchunk = zs[lo : lo + BATCH_CHUNK]
+        padded = _pad_pow2(chunk, chunk[0])
+        zpad = zchunk + [zchunk[0]] * (len(padded) - len(chunk))
         polyz = np.concatenate(
             [
-                bs.blobs_to_scalars(chunk),
-                fl.ints_to_limbs(zs[lo : lo + BATCH_CHUNK], FR.n_limbs)[:, :, None],
+                bs.blobs_to_scalars(padded),
+                fl.ints_to_limbs(zpad, FR.n_limbs)[:, :, None],
             ],
             axis=-1,
         )
@@ -543,10 +563,14 @@ def compute_blob_kzg_proof_batch(
                 s.roots_brp_mont, t.x, t.y, t.inf, t.c,
             )
         )
+        keep.extend(range(off, off + len(chunk)))
+        off += len(padded)
     from .ops.field import FP
 
     L = FP.n_limbs
-    arr = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))
+    arr = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))[
+        :, keep
+    ]
     xs = FP.decode(arr[:L])
     ys_ = FP.decode(arr[L : 2 * L])
     infs = arr[2 * L] != 0
