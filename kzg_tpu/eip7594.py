@@ -33,7 +33,7 @@ from .oracle.curve import G2_GENERATOR
 from .ops import field as fl
 from .ops import g1 as dg1
 from .ops import msm as dmsm
-from .ops.fft import brp_indices, fft as dfft, ifft as difft
+from .ops.fft import brp_indices, compact_stages, fft as dfft, ifft as difft
 from .ops.field import FR
 from .ops.g1fft import fft_g1 as dfft_g1, fk20_half_convolution
 from .settings import DeviceKZGSettings
@@ -189,20 +189,33 @@ def _lagrange_to_monomial(blob_m: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def _cells_kernel(blob_m: jnp.ndarray) -> jnp.ndarray:
-    """blob (16, B, 4096) Montgomery -> cells (16, B, 8192) canonical, in
-    bit-reversed (wire) order."""
-    with fl.maybe_unrolled(fl.unroll_default()):
+def _cells_kernel(words: jnp.ndarray) -> jnp.ndarray:
+    """Raw blob wire image (B, 4096, 8) u32 -> packed [ok | cells]
+    ((1 + 16), B, 8192) with cells canonical in bit-reversed (wire) order
+    (ok broadcast along the last axis; ONE upload, ONE read-back)."""
+    from .eip4844 import _words_to_limbs
+
+    with compact_stages(), fl.maybe_unrolled(fl.unroll_default()):
+        limbs, okm = _words_to_limbs(words)
+        blob_m = fl.from_canonical(FR, limbs)
         poly = _lagrange_to_monomial(blob_m)
         padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
         ext = dfft(padded)
         ext = jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-        return fl.to_canonical(FR, ext)
+        cells = fl.to_canonical(FR, ext)
+        ok = jnp.broadcast_to(
+            okm.all(axis=-1).astype(jnp.uint32)[None, :, None], (1,) + cells.shape[1:]
+        )
+        return jnp.concatenate([ok, cells], axis=0)
 
 
 def _fk20_body(poly_m: jnp.ndarray, table: dmsm.FixedBaseTable) -> dg1.G1XYZZ:
     """FK20 proofs for monomial polys (16, B, 8192) -> XYZZ (…, B, 128) in
     bit-reversed order (parity: compute_fk20_proofs, das.rs:660-696)."""
+    import contextlib
+
+    from .ops import pallas_msm
+
     B = poly_m.shape[1]
     idx, mask = _toeplitz_gather(N, CELL)
     base = poly_m[:, :, :N]
@@ -212,33 +225,64 @@ def _fk20_body(poly_m: jnp.ndarray, table: dmsm.FixedBaseTable) -> dg1.G1XYZZ:
     toeplitz = jnp.where(
         jnp.asarray(mask)[None, None], toeplitz, jnp.zeros_like(toeplitz)
     )
-    tf = dfft(toeplitz)  # (16, B, 64, 128)
+    with compact_stages():
+        tf = dfft(toeplitz)  # (16, B, 64, 128)
     coeffs = jnp.swapaxes(tf, 2, 3)  # (16, B, 128, 64)
     scalars = fl.to_canonical(FR, coeffs)
 
     h_ext = dmsm.msm_fixed_core(table, scalars)  # (…, B, 128)
-    # fft_g1(zero_top(ifft_g1(h_ext))) fused into one circulant convolution
-    proofs = fk20_half_convolution(h_ext)
+    # fft_g1(zero_top(ifft_g1(h_ext))) fused into one circulant convolution.
+    # Its ~200 sequential point ops over B*128*65 lanes are the cell ops'
+    # hot loop: route adds through the Pallas tiled kernel and the limb
+    # work through the unrolled dataflow (loop-form ran ~4.6 ms per add).
+    adds = (
+        dg1.tiled_pallas_adds()
+        if pallas_msm.enabled()
+        else contextlib.nullcontext()
+    )
+    with adds, fl.maybe_unrolled(fl.unroll_default()):
+        proofs = fk20_half_convolution(h_ext)
     return dg1.G1XYZZ(
         *(jnp.take(cc, jnp.asarray(brp_indices(K2)), axis=-1) for cc in proofs)
     )
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
-def _cells_proofs_kernel(blob_m, tab_x, tab_y, tab_inf, c):
-    """compute_cells_and_kzg_proofs as ONE device program: the extension
+def _cells_proofs_kernel(words, tab_x, tab_y, tab_inf, c):
+    """compute_cells_and_kzg_proofs as ONE device program over the raw blob
+    wire image: byte->limb unpack + canonicality on device, the extension
     FFT and the FK20 pipeline share one lagrange->monomial conversion, and
-    the proofs come back affine (batch inverse in-graph) so the host does a
-    single read-back pair."""
-    poly = _lagrange_to_monomial(blob_m)
-    padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
-    ext = dfft(padded)
-    with fl.maybe_unrolled(fl.unroll_default()):
+    everything returns as ONE packed u32 buffer
+    [ok | cells(16) | x(LP) | y(LP) | inf] stacked on axis 0 over (B, 8192)
+    (proofs occupy the first 128 lanes of their rows)."""
+    from .eip4844 import _words_to_limbs
+
+    with compact_stages(), fl.maybe_unrolled(fl.unroll_default()):
+        limbs, okm = _words_to_limbs(words)
+        blob_m = fl.from_canonical(FR, limbs)
+        poly = _lagrange_to_monomial(blob_m)
+        padded = jnp.concatenate([poly, jnp.zeros_like(poly)], axis=-1)
+        ext = dfft(padded)
         cells = fl.to_canonical(
             FR, jnp.take(ext, jnp.asarray(brp_indices(N_EXT)), axis=-1)
         )
+        ok = jnp.broadcast_to(
+            okm.all(axis=-1).astype(jnp.uint32)[None, :, None], (1,) + cells.shape[1:]
+        )
     proofs = _fk20_body(padded, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c))
-    return cells, dg1.to_affine(proofs)
+    aff = dg1.to_affine(proofs)
+    LP = dg1.FP.n_limbs
+    pad = cells.shape[-1] - aff.x.shape[-1]
+    apad = [(0, 0)] * (aff.x.ndim - 1) + [(0, pad)]
+    rows = jnp.concatenate(
+        [
+            jnp.pad(aff.x, apad),
+            jnp.pad(aff.y, apad),
+            jnp.pad(aff.inf.astype(jnp.uint32), apad[1:])[None],
+        ],
+        axis=0,
+    )
+    return jnp.concatenate([ok, cells, rows], axis=0)
 
 
 def _recover_core(
@@ -298,7 +342,7 @@ def _recover_proofs_kernel(buf, shift, unshift, tab_x, tab_y, tab_inf, c):
     proofs come back affine."""
     from .ops import poly as dpoly
 
-    with fl.maybe_unrolled(fl.unroll_default()):
+    with compact_stages(), fl.maybe_unrolled(fl.unroll_default()):
         parts = {}
         off = 0
         for name, shape in _recover_shapes():
@@ -321,15 +365,29 @@ def _recover_proofs_kernel(buf, shift, unshift, tab_x, tab_y, tab_inf, c):
     proofs = _fk20_body(
         recon_coeff, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c)
     )
-    return cells_can, dg1.to_affine(proofs)
+    aff = dg1.to_affine(proofs)
+    # ONE packed read-back: [cells(16) | x(LP) | y(LP) | inf] over (B, 8192)
+    LP = dg1.FP.n_limbs
+    pad = cells_can.shape[-1] - aff.x.shape[-1]
+    apad = [(0, 0)] * (aff.x.ndim - 1) + [(0, pad)]
+    rows = jnp.concatenate(
+        [
+            jnp.pad(aff.x, apad),
+            jnp.pad(aff.y, apad),
+            jnp.pad(aff.inf.astype(jnp.uint32), apad[1:])[None],
+        ],
+        axis=0,
+    )
+    return jnp.concatenate([cells_can, rows], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
 def _wire_proofs_kernel(wire_m, tab_x, tab_y, tab_inf, c):
     """FK20 proofs for an already-complete extended blob in wire (brp)
     order, as one device program returning affine proofs."""
-    natural = jnp.take(wire_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
-    poly = difft(natural)
+    with compact_stages(), fl.maybe_unrolled(fl.unroll_default()):
+        natural = jnp.take(wire_m, jnp.asarray(brp_indices(N_EXT)), axis=-1)
+        poly = difft(natural)
     proofs = _fk20_body(poly, dmsm.FixedBaseTable(tab_x, tab_y, tab_inf, c))
     return dg1.to_affine(proofs)
 
@@ -350,23 +408,47 @@ def compute_cells_and_kzg_proofs_batch(
     blobs: Sequence[bytes], s: DeviceKZGSettings, with_proofs: bool = True
 ):
     """(parity: DAS::compute_cells_and_kzg_proofs, das.rs:244-292)"""
-    blob_m = fl.from_canonical_jit(FR, jnp.asarray(bs.blobs_to_scalars(blobs)))
+    for b in blobs:
+        if len(b) != N * 32:
+            raise ValueError(
+                f"Invalid blob: Invalid byte length. Expected {N * 32} "
+                f"got {len(b)}"
+            )
+    words = jnp.asarray(
+        np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), N, 8)
+    )
+    B = len(blobs)
+    LP = dg1.FP.n_limbs
     if with_proofs:
         t = _column_tables(s)
-        cells_can, aff = _cells_proofs_kernel(blob_m, t.x, t.y, t.inf, t.c)
-        aff_pts = dg1.affine_to_ints(aff)  # flattened (B*128)
+        out = np.asarray(_cells_proofs_kernel(words, t.x, t.y, t.inf, t.c))
+        if not out[0, :, 0].all():
+            raise ValueError("Invalid blob: scalar is not canonical")
+        cells_np = out[1:17]
+        xs = fl.limbs_to_ints(out[17 : 17 + LP, :, :K2])
+        ys_ = fl.limbs_to_ints(out[17 + LP : 17 + 2 * LP, :, :K2])
+        infs = out[17 + 2 * LP, :, :K2].reshape(-1) != 0
+        rinv = pow(1 << (16 * LP), -1, dg1.FP.modulus)
+        aff_pts = [
+            None
+            if infs[i]
+            else (xs[i] * rinv % dg1.FP.modulus, ys_[i] * rinv % dg1.FP.modulus)
+            for i in range(B * K2)
+        ]
     else:
-        cells_can = _cells_kernel(blob_m)  # (16, B, 8192) canonical
-    cells_np = np.asarray(cells_can)
+        out = np.asarray(_cells_kernel(words))
+        if not out[0, :, 0].all():
+            raise ValueError("Invalid blob: scalar is not canonical")
+        cells_np = out[1:17]
     all_cells = []
-    for b in range(len(blobs)):
+    for b in range(B):
         raw = bs.frs_to_bytes(cells_np[:, b, :])
         all_cells.append(
             [raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)]
         )
     all_proofs = []
     if with_proofs:
-        for b in range(len(blobs)):
+        for b in range(B):
             all_proofs.append(
                 native.g1_compress_batch(aff_pts[b * K2 : (b + 1) * K2])
             )
@@ -449,21 +531,34 @@ def recover_cells_and_kzg_proofs(
                 mvalid,
             ]
         )
-        cells_can, aff = _recover_proofs_kernel(
-            jnp.asarray(buf),
-            _shift_powers_dev(RECOVERY_SHIFT_FACTOR, N_EXT),
-            _shift_powers_dev(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT),
-            t.x,
-            t.y,
-            t.inf,
-            t.c,
+        out = np.asarray(
+            _recover_proofs_kernel(
+                jnp.asarray(buf),
+                _shift_powers_dev(RECOVERY_SHIFT_FACTOR, N_EXT),
+                _shift_powers_dev(pow(RECOVERY_SHIFT_FACTOR, R - 2, R), N_EXT),
+                t.x,
+                t.y,
+                t.inf,
+                t.c,
+            )
         )
 
-    raw = bs.frs_to_bytes(np.asarray(cells_can)[:, 0, :])
+    LP = dg1.FP.n_limbs
+    raw = bs.frs_to_bytes(out[:16, 0, :])
     out_cells = [
         raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL] for i in range(K2)
     ]
-    out_proofs = native.g1_compress_batch(dg1.affine_to_ints(aff))
+    xs = fl.limbs_to_ints(out[16 : 16 + LP, :, :K2])
+    ys_ = fl.limbs_to_ints(out[16 + LP : 16 + 2 * LP, :, :K2])
+    infs = out[16 + 2 * LP, 0, :K2] != 0
+    rinv = pow(1 << (16 * LP), -1, dg1.FP.modulus)
+    pts = [
+        None
+        if infs[i]
+        else (xs[i] * rinv % dg1.FP.modulus, ys_[i] * rinv % dg1.FP.modulus)
+        for i in range(K2)
+    ]
+    out_proofs = native.g1_compress_batch(pts)
     return out_cells, out_proofs
 
 

@@ -66,10 +66,92 @@ def _n_inv_mont(n: int) -> tuple:
     return tuple(int(x) for x in fl.int_to_limbs(v, FR.n_limbs))
 
 
+_COMPACT = [False]
+
+
+class compact_stages:
+    """Context: trace FFTs as ONE lax.scan stage body instead of log2(n)
+    unrolled stages. Bit-exact (same butterflies); the HLO size becomes
+    independent of n, which keeps big fused kernels (EIP-7594 recover /
+    cells) inside the remote TPU compiler's memory budget -- an unrolled
+    13-stage FFT x unrolled limb ops blew a 14 MB MLIR module and got the
+    compile helper OOM-killed. Costs one extra gather and doubles the
+    twiddle-multiply lanes (both halves instead of one), which is noise
+    next to the kernels around it."""
+
+    def __enter__(self):
+        self._saved = _COMPACT[0]
+        _COMPACT[0] = True
+
+    def __exit__(self, *exc):
+        _COMPACT[0] = self._saved
+        return False
+
+
+@lru_cache(maxsize=None)
+def _scan_tables(log_n: int, inverse: bool):
+    """Per-stage elementwise butterfly tables for the scan-form FFT:
+    tw (S, L, n) Montgomery twiddle per position, idxA/idxB (S, n) pair
+    source indices, sign (S, n) bool (True = hi half: out = a - t)."""
+    n = 1 << log_n
+    L = FR.n_limbs
+    r = 1 << (fl.LIMB_BITS * L)
+    tw = np.empty((log_n, L, n), np.uint32)
+    idx_a = np.empty((log_n, n), np.int32)
+    idx_b = np.empty((log_n, n), np.int32)
+    sign = np.empty((log_n, n), bool)
+    pos = np.arange(n)
+    for s in range(log_n):
+        h = 1 << s
+        w = root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, R - 2, R)
+        ladder = [1]
+        for _ in range(h - 1):
+            ladder.append(ladder[-1] * w % R)
+        k = pos % h
+        vals = [ladder[int(kk)] * r % R for kk in k]
+        tw[s] = fl.ints_to_limbs(vals, L)
+        idx_a[s] = pos & ~h
+        idx_b[s] = pos | h
+        sign[s] = (pos & h) != 0
+    return tw, idx_a, idx_b, sign
+
+
+def _fft_scan_body(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    L = FR.n_limbs
+    nb = x.ndim - 2
+    x = jnp.take(x, jnp.asarray(brp_indices(n)), axis=-1)
+    tw, ia, ib, sg = (jnp.asarray(t) for t in _scan_tables(log_n, inverse))
+
+    def stage(carry, inp):
+        tw_s, ia_s, ib_s, sg_s = inp
+        a = jnp.take(carry, ia_s, axis=-1)
+        b = jnp.take(carry, ib_s, axis=-1)
+        twb = tw_s.reshape((L,) + (1,) * nb + (n,))
+        t = fl.mont_mul(FR, b, jnp.broadcast_to(twb, b.shape))
+        out = jnp.where(
+            sg_s.reshape((1,) * (nb + 1) + (n,)),
+            fl.sub(FR, a, t),
+            fl.add(FR, a, t),
+        )
+        return out, None
+
+    x, _ = jax.lax.scan(stage, x, (tw, ia, ib, sg))
+    if inverse:
+        ninv = jnp.asarray(np.array(_n_inv_mont(n), dtype=np.uint32)).reshape(
+            (L,) + (1,) * nb + (1,)
+        )
+        x = fl.mont_mul(FR, x, jnp.broadcast_to(ninv, x.shape))
+    return x
+
+
 def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Radix-2 FFT along the last axis (unjitted body; composable inside
     other traced programs -- it picks up whatever field-op forms are active,
-    see fl.maybe_unrolled).
+    see fl.maybe_unrolled, and the scan stage form under compact_stages).
 
     x: (L, *batch, n) Montgomery-form Fr limbs; n a power of two.
     Semantics parity: fft_fr /root/reference/blst/src/fft_fr.rs:112-154
@@ -77,6 +159,8 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """
     n = x.shape[-1]
     assert n & (n - 1) == 0, "fft: length must be a power of two"
+    if _COMPACT[0] and n > 1:
+        return _fft_scan_body(x, inverse)
     log_n = n.bit_length() - 1
     L = FR.n_limbs
     batch = x.shape[1:-1]
@@ -108,16 +192,22 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("inverse", "unroll"))
-def _fft_jit(x: jnp.ndarray, inverse: bool, unroll: bool) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("inverse", "unroll", "compact"))
+def _fft_jit(x: jnp.ndarray, inverse: bool, unroll: bool, compact: bool) -> jnp.ndarray:
+    # compact is threaded as a STATIC arg (not read inside the body): a
+    # nested jit caches its jaxpr, so a context flag read at body-trace time
+    # would leak the first caller's choice into later callers.
     with fl.maybe_unrolled(unroll):
+        if compact:
+            return _fft_scan_body(x, inverse)
         return fft_body(x, inverse)
 
 
 def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Jitted FFT on the process-default backend; the field-op form follows
-    the platform (unrolled dataflow on TPU, compact loops on XLA:CPU)."""
-    return _fft_jit(x, inverse, fl.unroll_default())
+    the platform (unrolled dataflow on TPU, compact loops on XLA:CPU) and
+    the stage form follows the active compact_stages context."""
+    return _fft_jit(x, inverse, fl.unroll_default(), _COMPACT[0])
 
 
 def ifft(x: jnp.ndarray) -> jnp.ndarray:

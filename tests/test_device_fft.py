@@ -53,6 +53,24 @@ def test_batched_fft():
         assert FR.decode(out[:, i, :]) == fft_fr(batches[i])
 
 
+def test_scan_form_matches_staged():
+    """The compact (lax.scan) stage form used inside big fused kernels is
+    bit-exact vs the unrolled-stage form, forward and inverse."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kzg_tpu.constants import R_MOD as R
+    from kzg_tpu.ops import fft as F
+    from kzg_tpu.ops.field import FR
+
+    rng = np.random.RandomState(5)
+    vals = FR.encode([int(x) % R for x in rng.randint(0, 2**62, 256)])
+    for inverse in (False, True):
+        a = np.asarray(F._fft_jit(vals, inverse, False, False))
+        b = np.asarray(F._fft_jit(vals, inverse, False, True))
+        assert (a == b).all()
+
+
 def test_das_extension_matches_oracle():
     n = 128
     evens = rand_frs(n)
