@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--json", type=str, default="")
     args = ap.parse_args()
 
+    t_start = time.time()
+
     import jax
     import jax.numpy as jnp
 
@@ -67,11 +69,20 @@ def main():
     results = {}
     want = [o for o in args.ops.split(",") if o] or None
 
+    def flush_partial():
+        # rows stream out as they are produced: a timed-out run still
+        # leaves a valid partial table on disk and in the log
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=2)
+
     def run(name, prepare, op):
         if want and name not in want:
             return
         ctx = prepare()
+        t0 = time.perf_counter()
         op(*ctx)  # warmup/compile
+        t_compile = time.perf_counter() - t0
         dt = timeit(lambda: op(*ctx), args.iters)
         base1, base16 = BASELINES_MS.get(name, (None, None))
         results[name] = {
@@ -82,7 +93,13 @@ def main():
         extra = ""
         if base1:
             extra = f"  ({base1/(dt*1e3):.1f}x blst-1c, {base16/(dt*1e3):.1f}x blst-16c)"
-        print(f"{name:36s} {dt*1e3:10.3f} ms{extra}", file=sys.stderr)
+        print(
+            f"[{time.time()-t_start:7.1f}s] {name:36s} {dt*1e3:10.3f} ms{extra}"
+            f"  [warm+compile {t_compile:.1f}s]",
+            file=sys.stderr,
+            flush=True,
+        )
+        flush_partial()
 
     def fence(out):
         # jax.block_until_ready does NOT fence execution through the remote
@@ -118,7 +135,12 @@ def main():
             results[name]["ms_pipelined"] = dt * 1e3
         else:
             results[name] = {"ms_pipelined": dt * 1e3}
-        print(f"{name:36s} {dt*1e3:10.3f} ms (pipelined)", file=sys.stderr)
+        print(
+            f"[{time.time()-t_start:7.1f}s] {name:36s} {dt*1e3:10.3f} ms (pipelined)",
+            file=sys.stderr,
+            flush=True,
+        )
+        flush_partial()
 
     run(
         f"g1_lincomb_{n}",
@@ -225,11 +247,13 @@ def main():
                 "vs_blst_1core_scaled": base1 / (dt * 1e3),
             }
             print(
-                f"fft_g1 2^{p:<2d} {dt*1e3:10.1f} ms "
+                f"[{time.time()-t_start:7.1f}s] fft_g1 2^{p:<2d} {dt*1e3:10.1f} ms "
                 f"({base1/(dt*1e3):.1f}x blst-1c scaled)",
                 file=sys.stderr,
+                flush=True,
             )
-        results["fft_g1"] = g1fft_res
+            results["fft_g1"] = g1fft_res
+            flush_partial()
 
     # MSM size-scaling sweep (BASELINE.md north-star curve; parity:
     # BENCH_NPOW sweep, kzg-bench/src/benches/lincomb.rs:25-27). Variable
@@ -257,11 +281,13 @@ def main():
             dt = timeit(lambda: fence(dmsm.msm(base, scs)), max(2, args.iters // 2))
             sweep[f"2^{p}"] = {"ms": dt * 1e3, "pts_per_sec": m / dt}
             print(
-                f"msm_variable 2^{p:<2d} {dt*1e3:10.2f} ms  "
-                f"({m/dt/1e3:.0f}k pts/s)",
+                f"[{time.time()-t_start:7.1f}s] msm_variable 2^{p:<2d} "
+                f"{dt*1e3:10.2f} ms  ({m/dt/1e3:.0f}k pts/s)",
                 file=sys.stderr,
+                flush=True,
             )
-        results["msm_sweep_variable_base"] = sweep
+            results["msm_sweep_variable_base"] = sweep
+            flush_partial()
 
     print(json.dumps(results, indent=2))
     if args.json:

@@ -23,4 +23,24 @@ _os.environ.setdefault(
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+# The env vars above only take effect if they are set before `import jax` --
+# but a site hook (axon's sitecustomize) imports jax at interpreter start in
+# TPU sessions, snapshotting the config defaults with the cache DISABLED.
+# jax.config.update works after import, so apply the values through it.
+# (The remote-attached TPU client advertises "SerializedExecutable /
+# compile-cache" support in its platform_version; with the dir actually
+# configured, compiled TPU executables persist across processes and a warm
+# process skips every remote compile.)
+try:  # pragma: no cover - exercised by every device test session
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+    pass
+
 __version__ = "0.1.0"

@@ -34,6 +34,20 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+# A site hook may have imported jax already (snapshotting config defaults
+# with the cache disabled); apply through jax.config — see kzg_tpu/__init__.py.
+try:
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import pytest
 
 
