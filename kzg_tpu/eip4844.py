@@ -14,6 +14,8 @@ vector suite in tests/.
 """
 
 import hashlib
+import os
+import time
 from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
@@ -140,9 +142,10 @@ def _commit_program_bytes(words, tab_x, tab_y, tab_inf, c: int):
 def _prove_body(poly_limbs, z_limbs, roots_m, tab_x, tab_y, tab_inf, c: int):
     """blob limbs (canonical) + z limbs -> (proof affine, y canonical).
 
-    The unrolled field form only pays its (non-persistable, per-process)
-    remote-compile bill at large batch; small batches keep the loop form."""
-    with fl.maybe_unrolled(fl.unroll_default() and poly_limbs.shape[1] >= 32):
+    Unrolled field dataflow at every batch size: compiled TPU executables
+    persist across processes (kzg_tpu/__init__.py), so the bigger compile
+    is a one-time cost and the ~4x faster form always wins at runtime."""
+    with fl.maybe_unrolled(fl.unroll_default()):
         poly_m = fl.from_canonical(FR, poly_limbs)
         z_m = fl.from_canonical(FR, z_limbs)
         y_m, inv_diff, was_zero = _eval_barycentric_body(poly_m, z_m, roots_m)
@@ -237,7 +240,7 @@ def _eval_program_bytes(words, z_limbs, roots_m):
     -> packed [ok | y] ((1 + 16), B): the byte->limb unpack and canonicality
     check run on device, so the host does ZERO per-element work before the
     upload (the 8.4 MB/64-blob transfer is the batch path's wire floor)."""
-    with fl.maybe_unrolled(fl.unroll_default() and words.shape[0] >= 32):
+    with fl.maybe_unrolled(fl.unroll_default()):
         poly, ok = _words_to_limbs(words)
         poly_m = fl.from_canonical(FR, poly)
         z_m = fl.from_canonical(FR, z_limbs)
@@ -601,6 +604,13 @@ def verify_kzg_proof(
     verify_kzg_proof_rust, eip_4844.rs:586-611)."""
     if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
         raise ValueError("Invalid commitment/proof length")
+    if len(z_bytes) != 32 or len(y_bytes) != 32:
+        raise ValueError("Invalid field element length")
+    fused = native.verify_kzg_proof_fused(
+        commitment_bytes, z_bytes, y_bytes, proof_bytes, s.oracle.g2_monomial[1]
+    )
+    if fused is not None:
+        return fused
     commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     bs.fr_from_bytes(z_bytes)  # canonicality checks (raise like the reference)
     bs.fr_from_bytes(y_bytes)
@@ -623,14 +633,22 @@ def verify_blob_kzg_proof(
             f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
             f"got {len(blob_bytes)}"
         )
-    commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     z = compute_challenge(blob_bytes, commitment_bytes)
     # single-blob verify is latency-bound: the barycentric eval runs in the
-    # native host core (~5 ms) instead of a device round trip (~80 ms RTT
-    # on a remote-attached chip)
+    # native host core (~1.5 ms) instead of a device round trip (~80 ms RTT
+    # on a remote-attached chip), and the check itself is ONE fused native
+    # call (decompress + Shamir ladder + pairing).
     y_be = native.eval_barycentric_4096(
         blob_bytes, z.to_bytes(32, "big"), s.roots_brp_mont_bytes
     )
+    if y_be is not None:
+        fused = native.verify_kzg_proof_fused(
+            commitment_bytes, z.to_bytes(32, "big"), y_be, proof_bytes,
+            s.oracle.g2_monomial[1],
+        )
+        if fused is not None:
+            return fused
+    commitment, proof = native.g1_decompress_batch(commitment_bytes + proof_bytes)
     if y_be is not None:
         y = int.from_bytes(y_be, "big")
     else:
@@ -666,8 +684,10 @@ def verify_blob_kzg_proof_batch(
         len(p) != 48 for p in proofs_bytes
     ):
         raise ValueError("Invalid commitment/proof length")
+    t_decompress0 = time.perf_counter()
     commitments = native.g1_decompress_batch(b"".join(commitments_bytes))
     proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
+    t_decompress1 = time.perf_counter()
     if n == 1:
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
 
@@ -683,6 +703,13 @@ def verify_blob_kzg_proof_batch(
                 f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
                 f"got {len(b)}"
             )
+    trace = os.environ.get("KZG_TPU_TRACE") == "1"
+    marks = [("start", t_decompress0), ("decompress", t_decompress1)]
+
+    def _mark(label):
+        if trace:
+            marks.append((label, time.perf_counter()))
+
     npad = 1 << max(0, (n - 1)).bit_length()
     use_mesh = mesh is not None and npad % mesh.shape["blobs"] == 0
     if use_mesh:
@@ -692,8 +719,11 @@ def verify_blob_kzg_proof_batch(
         words = np.frombuffer(wire, dtype=np.uint32).reshape(
             npad, FIELD_ELEMENTS_PER_BLOB, 8
         )
+        _mark("wire_concat")
         dev = jax.device_put(words)  # async; streams under the hashing below
+        _mark("device_put_dispatch")
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
+    _mark("challenges_sha")
     zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
         :, :, None
     ]
@@ -703,11 +733,14 @@ def verify_blob_kzg_proof_batch(
         )[:n]
     else:
         out = np.asarray(_eval_program_bytes(dev, zl, s.roots_brp_mont))
+        _mark("eval_fenced")
         if not out[0, :n].all():
             raise ValueError("Invalid blob: scalar is not canonical")
         ys = fl.limbs_to_ints(out[1:, :n])
+        _mark("ys_decode")
 
     r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
+    _mark("r_powers")
 
     # the r-weighted lincombs run in the NATIVE host core: at n <= a few
     # hundred points, a host Pippenger (~10 ms) beats a second device
@@ -722,6 +755,17 @@ def verify_blob_kzg_proof_batch(
         commitments + proofs + [G1_GENERATOR],
         list(r_powers) + r_times_z + [(R - ry_sum) % R],
     )
-    return native.pairings_verify(
+    _mark("host_msms")
+    ok = native.pairings_verify(
         proof_lincomb, s.oracle.g2_monomial[1], rhs, G2_GENERATOR
     )
+    if trace:
+        _mark("pairing")
+        import sys
+
+        stages = "  ".join(
+            f"{lbl}:{(t1 - t0) * 1e3:.1f}ms"
+            for (_, t0), (lbl, t1) in zip(marks, marks[1:])
+        )
+        print(f"[batch_verify n={n}] {stages}", file=sys.stderr, flush=True)
+    return ok

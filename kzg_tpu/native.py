@@ -27,7 +27,7 @@ def _load():
             try:
                 lib = ctypes.CDLL(p)
                 lib.kzgn_version.restype = ctypes.c_int
-                if lib.kzgn_version() != 2:
+                if lib.kzgn_version() != 3:
                     continue
                 lib.kzgn_sha256.argtypes = [
                     ctypes.c_char_p,
@@ -41,6 +41,8 @@ def _load():
                 lib.kzgn_g1_mul.restype = ctypes.c_int
                 lib.kzgn_g1_add.restype = ctypes.c_int
                 lib.kzgn_g1_msm.restype = ctypes.c_int
+                lib.kzgn_verify_kzg_proof.restype = ctypes.c_int
+                lib.kzgn_g1_in_subgroup.restype = ctypes.c_int
                 return lib
             except OSError:
                 continue
@@ -179,6 +181,39 @@ def pairings_verify(a1: Affine, a2, b1: Affine, b2) -> bool:
     rc = _lib.kzgn_pairings_verify(a1b, a1i, a2b, a2i, b1b, b1i, b2b, b2i)
     if rc < 0:
         raise ValueError("pairings_verify: malformed input")
+    return rc == 1
+
+
+def verify_kzg_proof_fused(
+    commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes, proof_bytes: bytes, g2s
+) -> Optional[bool]:
+    """Full single-point verify in ONE native call (decompress with fast
+    endomorphism subgroup checks + Shamir double ladder + one pairing) --
+    no FFI round trips on the latency path. Returns None when the native
+    library is unavailable (callers fall back to the composed path); raises
+    ValueError on malformed points / non-canonical scalars (BADARGS)."""
+    if _lib is None:
+        return None
+    rc = _lib.kzgn_verify_kzg_proof(
+        commitment_bytes, z_bytes, y_bytes, proof_bytes, *_g2_to_bytes_raw(g2s)
+    )
+    if rc == -2:
+        raise ValueError("bytes_to_bls_field: scalar not canonical")
+    if rc < 0:
+        raise ValueError("invalid commitment/proof point")
+    return rc == 1
+
+
+def g1_in_subgroup(pt: Affine, fast: bool = True) -> bool:
+    """Membership probe (differential-test hook for the endomorphism check)."""
+    if _lib is None:
+        raise RuntimeError("native library unavailable")
+    if pt is None:
+        return True
+    b, _ = _point_to_xy(pt)
+    rc = _lib.kzgn_g1_in_subgroup(b, 1 if fast else 0)
+    if rc < 0:
+        raise ValueError("malformed point")
     return rc == 1
 
 

@@ -13,6 +13,7 @@ whole batch of blobs is transformed by the same traced program (the batch
 dims shard across chips; the transform axis stays local).
 """
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -148,6 +149,72 @@ def _fft_scan_body(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return x
 
 
+@lru_cache(maxsize=None)
+def _roll_tables(log_n: int, inverse: bool):
+    """Full-width per-position twiddles + low-half masks for the roll-form
+    butterfly: tw[s][i] = w_s^(i mod 2^s) broadcast over ALL n positions,
+    low[s][i] = (i & 2^s) == 0."""
+    n = 1 << log_n
+    L = FR.n_limbs
+    r = 1 << (fl.LIMB_BITS * L)
+    tw = np.empty((log_n, L, n), np.uint32)
+    low = np.empty((log_n, n), bool)
+    pos = np.arange(n)
+    for s in range(log_n):
+        h = 1 << s
+        w = root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, R - 2, R)
+        ladder = [1]
+        for _ in range(h - 1):
+            ladder.append(ladder[-1] * w % R)
+        tw[s] = fl.ints_to_limbs([ladder[int(i % h)] * r % R for i in pos], L)
+        low[s] = (pos & h) == 0
+    return tw, low
+
+
+def _fft_roll_body(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Gather-free butterfly network: each stage is ONE fused elementwise
+    pass (mont_mul + add/sub + two lane rolls + select), so XLA emits
+    log2(n) fused kernels with zero gathers/stacks/relayouts.
+
+    Stage s pairs i with i^h (h = 2^s). With b[i] = x[i+h] (roll -h):
+      u[i] = x[i] + w[i] b[i]   (the correct out[i] on low positions)
+      v[i] = x[i] - w[i] b[i]   (the correct out[i+h], computed at i)
+      out  = where(i & h == 0, u, roll(v, +h))
+    Same butterflies as fft_body -- bit-exact, 2x the minimal multiply
+    count but fully vectorized with no data movement beyond two rolls.
+    (semantics parity: fft_fr, /root/reference/blst/src/fft_fr.rs:112-154)
+    """
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    L = FR.n_limbs
+    nb = x.ndim - 2
+    x = jnp.take(x, jnp.asarray(brp_indices(n)), axis=-1)
+    tw, low = _roll_tables(log_n, inverse)
+    for s in range(log_n):
+        h = 1 << s
+        b = jnp.roll(x, -h, axis=-1)
+        if s == 0:
+            t = b
+        else:
+            tws = jnp.asarray(tw[s]).reshape((L,) + (1,) * nb + (n,))
+            t = fl.mont_mul(FR, b, jnp.broadcast_to(tws, b.shape))
+        u = fl.add(FR, x, t)
+        v = fl.sub(FR, x, t)
+        x = jnp.where(
+            jnp.asarray(low[s]).reshape((1,) * (nb + 1) + (n,)),
+            u,
+            jnp.roll(v, h, axis=-1),
+        )
+    if inverse:
+        ninv = jnp.asarray(np.array(_n_inv_mont(n), dtype=np.uint32)).reshape(
+            (L,) + (1,) * nb + (1,)
+        )
+        x = fl.mont_mul(FR, x, jnp.broadcast_to(ninv, x.shape))
+    return x
+
+
 def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Radix-2 FFT along the last axis (unjitted body; composable inside
     other traced programs -- it picks up whatever field-op forms are active,
@@ -161,6 +228,8 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     assert n & (n - 1) == 0, "fft: length must be a power of two"
     if _COMPACT[0] and n > 1:
         return _fft_scan_body(x, inverse)
+    if n > 1 and os.environ.get("KZG_TPU_FFT_ROLL", "1") == "1":
+        return _fft_roll_body(x, inverse)
     log_n = n.bit_length() - 1
     L = FR.n_limbs
     batch = x.shape[1:-1]

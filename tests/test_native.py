@@ -121,3 +121,74 @@ def test_pairings_infinity_semantics():
         None, q, None, G2_GENERATOR
     )
     assert native.pairings_verify(p, q, None, None) == oracle_pv(p, q, None, None)
+
+
+def _rand_curve_point(in_subgroup: bool):
+    """Random on-curve affine point; in_subgroup=False yields a point of the
+    full E(Fp) group (cofactor ~2^125, so it is essentially never in the
+    r-order subgroup)."""
+    from kzg_tpu.constants import P_MOD as P
+
+    if in_subgroup:
+        return G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R))
+    while True:
+        x = rng.randrange(P)
+        rhs = (pow(x, 3, P) + 4) % P
+        y = pow(rhs, (P + 1) // 4, P)
+        if y * y % P == rhs:
+            return (x, y)
+
+
+def test_g1_subgroup_fast_matches_generic():
+    """The endomorphism membership test (Scott eprint 2021/1130) must agree
+    with the generic multiply-by-r check on subgroup points, non-subgroup
+    curve points, and the x^2/lambda edge scalars."""
+    if not native.available():
+        pytest.skip("native library not built")
+    pts = [_rand_curve_point(True) for _ in range(6)]
+    pts += [_rand_curve_point(False) for _ in range(6)]
+    pts += [G1_GENERATOR, G1.mul_scalar(G1_GENERATOR, R - 1)]
+    from kzg_tpu.constants import BLS_X
+
+    for s in (1, 2, BLS_X % R, (BLS_X * BLS_X) % R, (R - BLS_X * BLS_X) % R):
+        pts.append(G1.mul_scalar(G1_GENERATOR, s))
+    for pt in pts:
+        assert native.g1_in_subgroup(pt, fast=True) == native.g1_in_subgroup(
+            pt, fast=False
+        ), pt
+
+
+def test_verify_kzg_proof_fused_matches_composed():
+    """The fused native verify must agree with the composed host path on
+    valid, tampered, infinity, and non-canonical inputs."""
+    if not native.available():
+        pytest.skip("native library not built")
+    from kzg_tpu.oracle.kzg import settings_from_secret
+
+    s = settings_from_secret(16, 1927409816240961209460912649124, 5)
+    g2s = s.g2_monomial[1]
+    secret = 1927409816240961209460912649124
+    # p(X) = c0 + c1 X: commitment [p(s)]G, proof for opening at z:
+    # pi = [(p(s) - p(z)) / (s - z)] G
+    c0, c1 = rng.randrange(R), rng.randrange(R)
+    z = rng.randrange(R)
+    y = (c0 + c1 * z) % R
+    commitment = G1.mul_scalar(G1_GENERATOR, (c0 + c1 * secret) % R)
+    q = (c0 + c1 * secret - y) % R * pow((secret - z) % R, R - 2, R) % R
+    proof = G1.mul_scalar(G1_GENERATOR, q)
+    cb = ser.g1_to_bytes(commitment)
+    pb = ser.g1_to_bytes(proof)
+    zb, yb = z.to_bytes(32, "big"), y.to_bytes(32, "big")
+    assert native.verify_kzg_proof_fused(cb, zb, yb, pb, g2s) is True
+    bad_y = ((y + 1) % R).to_bytes(32, "big")
+    assert native.verify_kzg_proof_fused(cb, zb, bad_y, pb, g2s) is False
+    # infinity proof verifies the constant polynomial at its value
+    const_c = G1.mul_scalar(G1_GENERATOR, c0)
+    inf_b = ser.g1_to_bytes(None)
+    assert native.verify_kzg_proof_fused(
+        ser.g1_to_bytes(const_c), zb, (c0 % R).to_bytes(32, "big"), inf_b, g2s
+    ) is True
+    with pytest.raises(ValueError):
+        native.verify_kzg_proof_fused(cb, b"\xff" * 32, yb, pb, g2s)
+    with pytest.raises(ValueError):
+        native.verify_kzg_proof_fused(b"\x01" * 48, zb, yb, pb, g2s)
