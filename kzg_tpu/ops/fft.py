@@ -226,6 +226,14 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """
     n = x.shape[-1]
     assert n & (n - 1) == 0, "fft: length must be a power of two"
+    if n > 1:
+        from . import pallas_fft
+
+        if pallas_fft.active(n):
+            # VMEM-resident stage groups on TPU: ~10x the XLA stage network,
+            # and the traced graph collapses to two custom calls (also
+            # shrinking the fused EIP-7594 programs' compile footprint)
+            return pallas_fft.fft_pallas(x, inverse)
     if _COMPACT[0] and n > 1:
         return _fft_scan_body(x, inverse)
     if n > 1 and os.environ.get("KZG_TPU_FFT_ROLL", "1") == "1":
@@ -261,31 +269,48 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("inverse", "unroll", "compact"))
-def _fft_jit(x: jnp.ndarray, inverse: bool, unroll: bool, compact: bool) -> jnp.ndarray:
-    # compact is threaded as a STATIC arg (not read inside the body): a
-    # nested jit caches its jaxpr, so a context flag read at body-trace time
-    # would leak the first caller's choice into later callers.
-    with fl.maybe_unrolled(unroll):
+@partial(jax.jit, static_argnames=("inverse", "unroll", "compact", "pallas"))
+def _fft_jit(
+    x: jnp.ndarray, inverse: bool, unroll: bool, compact: bool, pallas: bool
+) -> jnp.ndarray:
+    # compact/pallas are threaded as STATIC args (not read inside the body):
+    # a nested jit caches its jaxpr, so a context flag read at body-trace
+    # time would leak the first caller's choice into later callers.
+    from . import pallas_fft
+
+    if pallas:
+        return pallas_fft.fft_pallas(x, inverse)
+    with pallas_fft.force_off(), fl.maybe_unrolled(unroll):
         if compact:
             return _fft_scan_body(x, inverse)
         return fft_body(x, inverse)
 
 
 def fft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Jitted FFT on the process-default backend; the field-op form follows
-    the platform (unrolled dataflow on TPU, compact loops on XLA:CPU) and
-    the stage form follows the active compact_stages context."""
-    return _fft_jit(x, inverse, fl.unroll_default(), _COMPACT[0])
+    """Jitted FFT on the process-default backend; the stage form follows the
+    platform (Pallas kernel on TPU, roll/scan XLA network elsewhere) and the
+    field-op form follows it too (unrolled dataflow on TPU, compact loops on
+    XLA:CPU)."""
+    from . import pallas_fft
+
+    return _fft_jit(
+        x, inverse, fl.unroll_default(), _COMPACT[0],
+        pallas_fft.active(x.shape[-1]),
+    )
 
 
 def ifft(x: jnp.ndarray) -> jnp.ndarray:
     return fft(x, inverse=True)
 
 
-@partial(jax.jit, static_argnames=("unroll",))
-def _das_extension_jit(evens: jnp.ndarray, unroll: bool) -> jnp.ndarray:
-    with fl.maybe_unrolled(unroll):
+@partial(jax.jit, static_argnames=("unroll", "pallas"))
+def _das_extension_jit(evens: jnp.ndarray, unroll: bool, pallas: bool) -> jnp.ndarray:
+    from . import pallas_fft
+
+    import contextlib
+
+    off = contextlib.nullcontext() if pallas else pallas_fft.force_off()
+    with off, fl.maybe_unrolled(unroll):
         coeffs = fft_body(evens, inverse=True)
         padded = jnp.concatenate([coeffs, jnp.zeros_like(coeffs)], axis=-1)
         full = fft_body(padded)
@@ -297,7 +322,11 @@ def das_extension(evens: jnp.ndarray) -> jnp.ndarray:
     on the n-domain (= even indices of the 2n-domain), return the odd-index
     evaluations (parity: /root/reference/blst/src/data_availability_sampling.rs).
     """
-    return _das_extension_jit(evens, fl.unroll_default())
+    from . import pallas_fft
+
+    return _das_extension_jit(
+        evens, fl.unroll_default(), pallas_fft.active(evens.shape[-1])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,8 +83,13 @@ def fft_sharded(
     # is the binding constraint -- see fl.maybe_unrolled)
     unroll = pallas_msm.enabled_for(mesh)
 
+    from ..ops import pallas_fft
+
     def shard_fn(yb, twb):
-        with fl.maybe_unrolled(unroll):
+        # the Pallas FFT kernel is gated off inside shard_map bodies: the
+        # mesh may be CPU (multi-chip dryrun) and per-shard lengths here are
+        # short; the XLA forms are correct on every platform
+        with pallas_fft.force_off(), fl.maybe_unrolled(unroll):
             # yb: (16, n1/d, n2)
             a = fft_body(yb, inverse=inverse)       # step 1 (scale note below)
             # inverse: fft_body(inverse) scales by 1/n2; total needed 1/n --

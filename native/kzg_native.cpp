@@ -1398,6 +1398,119 @@ static Fp12 miller_loop(const Fp &px, const Fp &py, bool p_inf, const Fp2 &qx, c
     return r;
 }
 
+// ---------------------------------------------------------------------------
+// Prepared (fixed-Q) pairing: every pairing this library evaluates has BOTH
+// G2 arguments fixed per trusted setup ([1]_2 and [s]_2) -- precompute the
+// line coefficients of the whole Miller ladder once and cache them, and run
+// the two Miller loops of each verification SHARING one f-squaring chain.
+// Removes all per-call G2 Jacobian arithmetic and half the Fp12 squarings
+// (~1.7x on the Miller phase). blst reaches the same effect with its
+// Pairing::aggregate multi-pairing (used via /root/reference/blst/src/
+// kzg_proofs.rs:74-100); the precomputed-line-table form here is original.
+// ---------------------------------------------------------------------------
+
+struct PreparedG2 {
+    Fp2 dbl[64][3];  // per iteration: l0 | l1 (pre-xP scale) | l4 (pre-yP)
+    Fp2 add[8][3];   // per set bit:   l2 (pre-yP) | l3 | l4 (pre-xP)
+    Fp2 qx, qy;      // cache key (Montgomery affine coordinates)
+    bool valid;
+};
+
+static void g2_prepare(const Fp2 &qx, const Fp2 &qy, PreparedG2 &out) {
+    G2Jac T;
+    T.X = qx;
+    T.Y = qy;
+    T.Z = fp2_one();
+    uint64_t x = BLS_X_ABS;
+    int top = 63;
+    while (!((x >> top) & 1)) top--;
+    int d = 0, a = 0;
+    for (int i = top - 1; i >= 0; i--) {
+        g2_dbl_step(T, out.dbl[d][0], out.dbl[d][1], out.dbl[d][2]);
+        d++;
+        if ((x >> i) & 1) {
+            g2_add_step(T, qx, qy, out.add[a][0], out.add[a][1], out.add[a][2]);
+            a++;
+        }
+    }
+    out.qx = qx;
+    out.qy = qy;
+    out.valid = true;
+}
+
+// 4-entry round-robin cache; the protocol only ever pairs against [1]_2 and
+// [s]_2, so after the first verification every call hits. Callers hold
+// g_pairing_mutex for the duration of the pairing (the returned pointer
+// aliases the cache).
+#include <mutex>
+static PreparedG2 g_prep_cache[4];
+static int g_prep_next = 0;
+static std::mutex g_pairing_mutex;
+
+static const PreparedG2 *prep_lookup(const Fp2 &qx, const Fp2 &qy) {
+    for (auto &p : g_prep_cache)
+        if (p.valid && fp2_eq(p.qx, qx) && fp2_eq(p.qy, qy)) return &p;
+    PreparedG2 &slot = g_prep_cache[g_prep_next];
+    g_prep_next = (g_prep_next + 1) & 3;
+    g2_prepare(qx, qy, slot);
+    return &slot;
+}
+
+// f_{|x|,Q1}(P1) * f_{|x|,Q2}(P2) with ONE shared squaring chain, from
+// precomputed line tables; conjugated for the negative BLS parameter.
+// iK = true skips pair K entirely (its factor is 1).
+static Fp12 miller_loop_dual_prepared(const Fp &p1x, const Fp &p1y, bool i1,
+                                      const PreparedG2 *q1,
+                                      const Fp &p2x, const Fp &p2y, bool i2,
+                                      const PreparedG2 *q2) {
+    if (i1 && i2) return fp12_one();
+    Fp12 f = fp12_one();
+    uint64_t x = BLS_X_ABS;
+    int top = 63;
+    while (!((x >> top) & 1)) top--;
+    int d = 0, a = 0;
+    for (int i = top - 1; i >= 0; i--) {
+        fp12_sqr_fast(f, f);
+        if (!i1) {
+            Fp2 l1, l4;
+            fp2_scale_fp(l1, q1->dbl[d][1], p1x);
+            fp2_scale_fp(l4, q1->dbl[d][2], p1y);
+            fp12_mul_by_014(f, f, q1->dbl[d][0], l1, l4);
+        }
+        if (!i2) {
+            Fp2 l1, l4;
+            fp2_scale_fp(l1, q2->dbl[d][1], p2x);
+            fp2_scale_fp(l4, q2->dbl[d][2], p2y);
+            fp12_mul_by_014(f, f, q2->dbl[d][0], l1, l4);
+        }
+        d++;
+        if ((x >> i) & 1) {
+            if (!i1) {
+                Fp12 l;
+                l.b0 = fp6_zero();
+                l.b1 = fp6_zero();
+                fp2_scale_fp(l.b0.a2, q1->add[a][0], p1y);
+                l.b1.a0 = q1->add[a][1];
+                fp2_scale_fp(l.b1.a1, q1->add[a][2], p1x);
+                fp12_mul(f, f, l);
+            }
+            if (!i2) {
+                Fp12 l;
+                l.b0 = fp6_zero();
+                l.b1 = fp6_zero();
+                fp2_scale_fp(l.b0.a2, q2->add[a][0], p2y);
+                l.b1.a0 = q2->add[a][1];
+                fp2_scale_fp(l.b1.a1, q2->add[a][2], p2x);
+                fp12_mul(f, f, l);
+            }
+            a++;
+        }
+    }
+    Fp12 r;
+    fp12_conj(r, f);
+    return r;
+}
+
 // Granger-Scott cyclotomic squaring: valid after the easy part of the final
 // exponentiation. Fp4 pairs of the Fp12 coordinates (over Fp2):
 // (a00, b01), (b00, a02), (a01, b02) with Fp4 = Fp2[s]/(s^2 - xi).
@@ -1849,13 +1962,16 @@ int kzgn_pairings_verify(const uint8_t a1[96], int a1_inf, const uint8_t a2[192]
         (!fp_from_be(b2x.c0, b2) || !fp_from_be(b2x.c1, b2 + 48) ||
          !fp_from_be(b2y.c0, b2 + 96) || !fp_from_be(b2y.c1, b2 + 144)))
         return -1;
-    // e(-a1, a2) * e(b1, b2) == 1
+    // e(-a1, a2) * e(b1, b2) == 1, as ONE dual Miller loop over cached
+    // line tables (the G2 args are setup constants in every protocol call)
     Fp na1y;
     fp_neg(na1y, a1y);
-    Fp12 f1 = miller_loop(a1x, na1y, a1_inf != 0, a2x, a2y, a2_inf != 0);
-    Fp12 f2 = miller_loop(b1x, b1y, b1_inf != 0, b2x, b2y, b2_inf != 0);
-    Fp12 f;
-    fp12_mul(f, f1, f2);
+    bool skip_a = a1_inf != 0 || a2_inf != 0;
+    bool skip_b = b1_inf != 0 || b2_inf != 0;
+    std::lock_guard<std::mutex> lock(g_pairing_mutex);
+    const PreparedG2 *pa = skip_a ? nullptr : prep_lookup(a2x, a2y);
+    const PreparedG2 *pb = skip_b ? nullptr : prep_lookup(b2x, b2y);
+    Fp12 f = miller_loop_dual_prepared(a1x, na1y, skip_a, pa, b1x, b1y, skip_b, pb);
     Fp12 e = final_exponentiation(f);
     return fp12_is_one(e) ? 1 : 0;
 }
@@ -1946,10 +2062,12 @@ int kzgn_verify_kzg_proof(const uint8_t commitment[48], const uint8_t z_be[32],
         return -1;
     Fp nly;
     fp_neg(nly, ly);
-    Fp12 f1 = miller_loop(lx, nly, lhs_inf, g2x, g2y, false);
-    Fp12 f2 = miller_loop(px, py, rc_p == 1, sx, sy, g2s_inf != 0);
-    Fp12 f;
-    fp12_mul(f, f1, f2);
+    bool skip_l = lhs_inf;
+    bool skip_p = rc_p == 1 || g2s_inf != 0;
+    std::lock_guard<std::mutex> lock(g_pairing_mutex);
+    const PreparedG2 *pl = skip_l ? nullptr : prep_lookup(g2x, g2y);
+    const PreparedG2 *pp = skip_p ? nullptr : prep_lookup(sx, sy);
+    Fp12 f = miller_loop_dual_prepared(lx, nly, skip_l, pl, px, py, skip_p, pp);
     Fp12 e = final_exponentiation(f);
     return fp12_is_one(e) ? 1 : 0;
 }
