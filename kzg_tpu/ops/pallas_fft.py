@@ -175,20 +175,38 @@ def _kernel_ab(log_n: int, scale: bool):
 
     def kernel(tw_ref, scale_ref, x_ref, o_ref):
         with fl.unrolled_ops():
-            x = x_ref[:, 0, :, 0]  # (L, BPT, Rr, C)
+            if bpt == 1:
+                # rank-3 (L, Rr, C) values: the shape the MSM scan kernel
+                # drives at the VPU ceiling; singleton batch dims cost
+                # Mosaic layout changes on every op
+                x = x_ref[:, 0, 0, 0]
+                lane_ax, row_ax = 2, 1
+
+                def tw(s_i):
+                    return tw_ref[s_i]
+
+            else:
+                x = x_ref[:, 0, :, 0]  # (L, BPT, Rr, C)
+                lane_ax, row_ax = 3, 2
+
+                def tw(s_i):
+                    # explicit singleton BPT axis: limb-leading arrays
+                    # cannot rely on trailing-dim broadcasting
+                    return tw_ref[s_i][:, None]
+
             if scale:
-                s = scale_ref[...]  # (L, 1, 1, 1) broadcasts over batch
+                s = scale_ref[...].reshape((L,) + (1,) * (x.ndim - 1))
                 x = fl.mont_mul(FR, x, jnp.broadcast_to(s, x.shape))
             for s_i in range(cb):
-                # twiddle gets an explicit singleton BPT axis: limb-leading
-                # arrays cannot rely on trailing-dim broadcasting
-                x = _butterfly(x, tw_ref[s_i][:, None], 1 << s_i, 3, s_i == 0)
+                x = _butterfly(x, tw(s_i), 1 << s_i, lane_ax, s_i == 0)
             for s_i in range(cb, cb + rb):
                 x = _butterfly(
-                    x, tw_ref[s_i][:, None], 1 << (s_i - cb), 2,
-                    identity_tw=False,
+                    x, tw(s_i), 1 << (s_i - cb), row_ax, identity_tw=False
                 )
-            o_ref[:, 0, :, 0] = x
+            if bpt == 1:
+                o_ref[:, 0, 0, 0] = x
+            else:
+                o_ref[:, 0, :, 0] = x
 
     spec_x = pl.BlockSpec(
         (L, 1, bpt, 1, Rr, C),
@@ -216,9 +234,16 @@ def _kernel_ab(log_n: int, scale: bool):
     return call
 
 
+RG = 8  # sublane rows per kernel-C program (Mosaic: second-to-last block
+# dim must be a multiple of 8 or the full array dim; Rr = 16 whenever tile
+# stages exist, so groups of 8 rows always tile it exactly)
+
+
 @lru_cache(maxsize=None)
-def _kernel_c(log_n: int):
-    """Tile stages; grid = (batch, Rr); block (L, 1, 1, T, 1, C)."""
+def _kernel_c_stage(log_n: int, j: int):
+    """ONE tile stage (pairs tiles 2^j apart); grid = (batch, Rr/RG);
+    block (L, 1, 1, T, RG, C). Per-stage calls keep VMEM at ~3 blocks
+    (x + out + this stage's twiddles) instead of tb + 2."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -227,30 +252,28 @@ def _kernel_c(log_n: int):
 
     def kernel(tw_ref, x_ref, o_ref):
         with fl.unrolled_ops():
-            x = x_ref[:, 0, 0, :, 0]  # (L, T, C)
-            for j in range(tb):
-                x = _butterfly(x, tw_ref[j][:, :, 0], 1 << j, 1, False)
-            o_ref[:, 0, 0, :, 0] = x
+            x = x_ref[:, 0, 0]  # (L, T, RG, C)
+            o_ref[:, 0, 0] = _butterfly(x, tw_ref[...], 1 << j, 1, False)
 
     spec_x = pl.BlockSpec(
-        (L, 1, 1, T, 1, C),
+        (L, 1, 1, T, RG, C),
         lambda g, r: (0, g, 0, 0, r, 0),
         memory_space=pltpu.VMEM,
     )
     spec_tw = pl.BlockSpec(
-        (tb, L, T, 1, C), lambda g, r: (0, 0, 0, r, 0), memory_space=pltpu.VMEM
+        (L, T, RG, C), lambda g, r: (0, 0, r, 0), memory_space=pltpu.VMEM
     )
 
-    def call(x, tw):
+    def call(x, tw_j):
         G = x.shape[1]
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
-            grid=(G, Rr),
+            grid=(G, Rr // RG),
             in_specs=[spec_tw, spec_x],
             out_specs=spec_x,
             interpret=_interpret(),
-        )(tw, x)
+        )(tw_j, x)
 
     return call
 
@@ -284,7 +307,7 @@ def fft_pallas(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         _scale_limbs(log_n) if inverse else np.zeros((L, 1, 1, 1), np.uint32)
     )
     x = _kernel_ab(log_n, inverse)(x, jnp.asarray(ab), scale_arr)
-    if tb:
-        x = _kernel_c(log_n)(x, jnp.asarray(cc))
+    for j in range(tb):
+        x = _kernel_c_stage(log_n, j)(x, jnp.asarray(cc[j]))
     x = x.reshape(L, Bp, n)[:, :B]
     return x.reshape((L,) + batch + (n,))
