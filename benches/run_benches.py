@@ -26,6 +26,18 @@ def timeit(fn, iters):
     return float(np.median(ts))
 
 
+def timeit_stats(fn, iters):
+    """(median, p10, p90, n) seconds -- criterion-style spread so a single
+    contended-host outlier is visible instead of silently polluting the row."""
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    a = np.asarray(ts)
+    return float(np.median(a)), float(np.percentile(a, 10)), float(np.percentile(a, 90)), len(a)
+
+
 BASELINES_MS = {
     # blst sequential 1-core / parallel 16-core (BASELINE.md)
     "blob_to_kzg_commitment": (52.39, 8.98),
@@ -83,10 +95,13 @@ def main():
         t0 = time.perf_counter()
         op(*ctx)  # warmup/compile
         t_compile = time.perf_counter() - t0
-        dt = timeit(lambda: op(*ctx), args.iters)
+        dt, p10, p90, n_samp = timeit_stats(lambda: op(*ctx), args.iters)
         base1, base16 = BASELINES_MS.get(name, (None, None))
         results[name] = {
             "ms": dt * 1e3,
+            "ms_p10": p10 * 1e3,
+            "ms_p90": p90 * 1e3,
+            "samples": n_samp,
             "vs_blst_1core": (base1 / (dt * 1e3)) if base1 else None,
             "vs_blst_16core": (base16 / (dt * 1e3)) if base16 else None,
         }

@@ -28,9 +28,14 @@ import subprocess
 import sys
 import time
 
-N_PTS = 256
+# Shapes chosen for XLA:CPU COMPILE cost, not run cost: the collective
+# overhead being measured is shape-independent, and the round-4 run died in
+# the workers' cold compiles (1800 s timeout on one timeshared core).
+# c=4 keeps integrate_buckets on its compact path -- same program family the
+# multi-chip dryrun compiles, so the persistent cache is shared.
+N_PTS = 64
 B_LOCAL = 2
-WINDOW = 7
+WINDOW = 4
 STEPS = 8
 
 
@@ -44,10 +49,10 @@ def worker(port: int, pid: int, nproc: int) -> None:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=4"
     ).strip()
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "kzg_tpu", "jax_cache_local"),
-    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import kzg_tpu  # host-fingerprinted local cache partition
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", kzg_tpu.compile_cache_dir())
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax

@@ -10,16 +10,53 @@ import os as _os
 #
 # The cache is partitioned by compile mode: sessions that use a remote XLA
 # compile service produce XLA:CPU AOT executables tuned for the *remote*
-# host's CPU; executing those locally can spin forever. Keeping remote- and
-# local-compiled artifacts in separate directories makes each cache
-# self-consistent.
-_cache_mode = "remote" if _os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(
-        _os.path.expanduser("~"), ".cache", "kzg_tpu", f"jax_cache_{_cache_mode}"
-    ),
-)
+# host's CPU; executing those locally can spin forever (cpu_aot_loader
+# machine-feature mismatch -> SIGILL risk). Partition rules:
+#   - forced-CPU runs (JAX_PLATFORMS leading entry == cpu, e.g. the driver's
+#     multi-chip dryrun and the test suite) ALWAYS use a host-local
+#     partition, even when remote-compile env vars are present -- XLA:CPU
+#     code must match this host's CPU, full stop;
+#   - the local partition name embeds a fingerprint of this host's CPU
+#     model+flags so AOT artifacts produced by any other machine are
+#     invisible here (this is what poisoned the round-4 dryrun cache);
+#   - accelerator sessions behind a remote compile service keep a shared
+#     "remote" partition (the executables target the accelerator, not a CPU).
+
+
+def _cache_partition() -> str:
+    plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+    forced_cpu = plat == "cpu"
+    if not forced_cpu and _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return "remote"
+    import hashlib
+
+    h = hashlib.sha256()
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                # only boot-stable identity lines (clock/bogomips vary);
+                # stop after the first core's flags -- cores are homogeneous
+                if line.startswith((b"model name", b"flags", b"cpu family", b"model\t")):
+                    h.update(line)
+                    if line.startswith(b"flags"):
+                        break
+    except OSError:
+        import platform
+
+        h.update(platform.processor().encode() or b"unknown")
+    return "local_" + h.hexdigest()[:12]
+
+
+def compile_cache_dir() -> str:
+    """Path of the persistent XLA compile cache partition for this process
+    (runtime analog of the reference's precompute disk cache,
+    /root/reference/kzg/src/msm/diskcache.rs)."""
+    return _os.path.join(
+        _os.path.expanduser("~"), ".cache", "kzg_tpu", f"jax_cache_{_cache_partition()}"
+    )
+
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", compile_cache_dir())
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -345,7 +345,7 @@ def _lincomb_program_sharded(mesh, px, py, pinf, scalars, c: int):
             lambda a: jax.lax.all_gather(a, "blobs", axis=a.ndim, tiled=False),
             part,
         )
-        full = dg1.tree_reduce(dg1.G1XYZZ(*gathered), unroll=True)
+        full = dg1.tree_reduce(dg1.G1XYZZ(*gathered), unroll=use_pallas)
         return dg1.G1XYZZ(*(a[..., 0] for a in full))
 
     f = shard_map(
@@ -394,18 +394,20 @@ def hash_to_bls_field(b32: bytes) -> int:
 def compute_challenge(blob_bytes: bytes, commitment_bytes: bytes) -> int:
     """Fiat-Shamir challenge over raw wire bytes
     (parity: compute_challenge_rust, eip_4844.rs:920-945)."""
-    data = (
+    h = hashlib.sha256()
+    h.update(
         FIAT_SHAMIR_PROTOCOL_DOMAIN
         + (0).to_bytes(8, "big")
         + FIELD_ELEMENTS_PER_BLOB.to_bytes(8, "big")
-        + blob_bytes
-        + commitment_bytes
     )
-    return hash_to_bls_field(hashlib.sha256(data).digest())
+    h.update(blob_bytes)  # no 131 KB concat copy: feed the wire bytes directly
+    h.update(commitment_bytes)
+    return hash_to_bls_field(h.digest())
 
 
-def compute_r_powers(commitments_b, zs, ys, proofs_b) -> List[int]:
-    """(parity: compute_r_powers, eip_4844.rs:328-378)"""
+def _batch_challenge_r(commitments_b, zs, ys, proofs_b) -> int:
+    """The Fiat-Shamir batch challenge r
+    (parity: compute_r_powers hashing, eip_4844.rs:328-378)."""
     n = len(commitments_b)
     data = bytearray()
     data += RANDOM_CHALLENGE_KZG_BATCH_DOMAIN
@@ -416,9 +418,14 @@ def compute_r_powers(commitments_b, zs, ys, proofs_b) -> List[int]:
         data += zs[i].to_bytes(32, "big")
         data += ys[i].to_bytes(32, "big")
         data += proofs_b[i]
-    r = hash_to_bls_field(hashlib.sha256(bytes(data)).digest())
+    return hash_to_bls_field(hashlib.sha256(bytes(data)).digest())
+
+
+def compute_r_powers(commitments_b, zs, ys, proofs_b) -> List[int]:
+    """(parity: compute_r_powers, eip_4844.rs:328-378)"""
+    r = _batch_challenge_r(commitments_b, zs, ys, proofs_b)
     out, acc = [], 1
-    for _ in range(n):
+    for _ in range(len(commitments_b)):
         out.append(acc)
         acc = acc * r % R
     return out
@@ -684,9 +691,11 @@ def verify_blob_kzg_proof_batch(
         len(p) != 48 for p in proofs_bytes
     ):
         raise ValueError("Invalid commitment/proof length")
+    fused_tail = native.available()
     t_decompress0 = time.perf_counter()
-    commitments = native.g1_decompress_batch(b"".join(commitments_bytes))
-    proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
+    if not fused_tail:
+        commitments = native.g1_decompress_batch(b"".join(commitments_bytes))
+        proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
     t_decompress1 = time.perf_counter()
     if n == 1:
         return verify_blob_kzg_proof(blobs[0], commitments_bytes[0], proofs_bytes[0], s)
@@ -739,26 +748,39 @@ def verify_blob_kzg_proof_batch(
         ys = fl.limbs_to_ints(out[1:, :n])
         _mark("ys_decode")
 
-    r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
-    _mark("r_powers")
-
-    # the r-weighted lincombs run in the NATIVE host core: at n <= a few
-    # hundred points, a host Pippenger (~10 ms) beats a second device
-    # program whose fence alone costs a ~40 ms tunnel round trip. The
+    # the r-weighted lincombs and pairing run in the NATIVE host core: at
+    # n <= a few hundred points, a host GLV Pippenger (~5 ms) beats a second
+    # device program whose fence alone costs a ~40 ms tunnel round trip. The
     # right-hand side folds into ONE MSM over [commitments | proofs | G]
     # (parity: the proof/C-y/proof-z lincombs of verify_kzg_proof_batch,
     # eip_4844.rs:380-435).
-    r_times_z = [r * z % R for r, z in zip(r_powers, zs)]
-    ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
-    proof_lincomb = native.g1_msm(proofs, list(r_powers))
-    rhs = native.g1_msm(
-        commitments + proofs + [G1_GENERATOR],
-        list(r_powers) + r_times_z + [(R - ry_sum) % R],
-    )
-    _mark("host_msms")
-    ok = native.pairings_verify(
-        proof_lincomb, s.oracle.g2_monomial[1], rhs, G2_GENERATOR
-    )
+    if fused_tail:
+        r = _batch_challenge_r(commitments_bytes, zs, ys, proofs_bytes)
+        _mark("r_powers")
+        ok = native.verify_blob_batch_tail(
+            b"".join(commitments_bytes),
+            b"".join(proofs_bytes),
+            n,
+            zs,
+            ys,
+            r,
+            s.oracle.g2_monomial[1],
+        )
+        _mark("native_tail")
+    else:
+        r_powers = compute_r_powers(commitments_bytes, zs, ys, proofs_bytes)
+        _mark("r_powers")
+        r_times_z = [r * z % R for r, z in zip(r_powers, zs)]
+        ry_sum = sum(r * y % R for r, y in zip(r_powers, ys)) % R
+        proof_lincomb = native.g1_msm(proofs, list(r_powers))
+        rhs = native.g1_msm(
+            commitments + proofs + [G1_GENERATOR],
+            list(r_powers) + r_times_z + [(R - ry_sum) % R],
+        )
+        _mark("host_msms")
+        ok = native.pairings_verify(
+            proof_lincomb, s.oracle.g2_monomial[1], rhs, G2_GENERATOR
+        )
     if trace:
         _mark("pairing")
         import sys

@@ -27,7 +27,7 @@ def _load():
             try:
                 lib = ctypes.CDLL(p)
                 lib.kzgn_version.restype = ctypes.c_int
-                if lib.kzgn_version() != 3:
+                if lib.kzgn_version() != 4:
                     continue
                 lib.kzgn_sha256.argtypes = [
                     ctypes.c_char_p,
@@ -43,6 +43,7 @@ def _load():
                 lib.kzgn_g1_msm.restype = ctypes.c_int
                 lib.kzgn_verify_kzg_proof.restype = ctypes.c_int
                 lib.kzgn_g1_in_subgroup.restype = ctypes.c_int
+                lib.kzgn_verify_blob_batch_tail.restype = ctypes.c_int
                 return lib
             except OSError:
                 continue
@@ -202,6 +203,44 @@ def verify_kzg_proof_fused(
     if rc < 0:
         raise ValueError("invalid commitment/proof point")
     return rc == 1
+
+
+def verify_blob_batch_tail(
+    commitments_comp: bytes,
+    proofs_comp: bytes,
+    n: int,
+    zs: List[int],
+    ys: List[int],
+    r: int,
+    g2s,
+) -> Optional[bool]:
+    """Fused batch-verification host tail in ONE native call: decompress
+    both point arrays (fast subgroup checks), the two folded r-power linear
+    combinations, and the prepared-line dual pairing. Returns None when the
+    native library is unavailable; raises ValueError on invalid points
+    (message names which array and index, matching the composed path)."""
+    if _lib is None:
+        return None
+    zs_be = b"".join(z.to_bytes(32, "big") for z in zs)
+    ys_be = b"".join(y.to_bytes(32, "big") for y in ys)
+    g2b, g2i = _g2_to_bytes_raw(g2s)
+    rc = _lib.kzgn_verify_blob_batch_tail(
+        commitments_comp,
+        proofs_comp,
+        ctypes.c_size_t(n),
+        zs_be,
+        ys_be,
+        r.to_bytes(32, "big"),
+        g2b,
+        g2i,
+    )
+    if rc >= 0:
+        return rc == 1
+    if rc <= -200:
+        raise ValueError(f"g1: invalid point at index {-200 - rc}")
+    if rc <= -100:
+        raise ValueError(f"g1: invalid point at index {-100 - rc}")
+    raise ValueError("verify_blob_batch_tail: malformed input")
 
 
 def g1_in_subgroup(pt: Affine, fast: bool = True) -> bool:

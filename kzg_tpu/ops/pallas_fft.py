@@ -83,7 +83,10 @@ def enabled() -> bool:
     if os.environ.get("KZG_TPU_PALLAS_FFT", "1") != "1":
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # TPU only: the kernel uses pltpu VMEM BlockSpecs / Mosaic lowering,
+        # which would fail to compile on a GPU backend ("axon" is the
+        # remote-attached TPU platform name).
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

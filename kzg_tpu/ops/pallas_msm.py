@@ -56,7 +56,8 @@ def enabled() -> bool:
     if os.environ.get("KZG_TPU_PALLAS_SCAN", "1") != "1":
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # TPU only (Mosaic lowering); "axon" = remote-attached TPU platform
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 
@@ -71,7 +72,7 @@ def enabled_for(mesh) -> bool:
         import numpy as _np
 
         platforms = {d.platform for d in _np.asarray(mesh.devices).flat}
-        return bool(platforms) and "cpu" not in platforms
+        return bool(platforms) and platforms <= {"tpu", "axon"}
     except Exception:
         return False
 

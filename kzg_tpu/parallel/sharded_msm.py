@@ -29,13 +29,18 @@ from ..ops import pallas_msm
 from ..ops.g1 import G1Aff, G1XYZZ
 
 
-def _combine_gathered(part: G1XYZZ, axis_name: str) -> G1XYZZ:
-    """all_gather per-shard partial sums and add them up on every chip."""
+def _combine_gathered(part: G1XYZZ, axis_name: str, unroll: bool) -> G1XYZZ:
+    """all_gather per-shard partial sums and add them up on every chip.
+
+    unroll follows the MESH platform (like the field-op form): unrolled
+    halving adds on TPU, the one-traced-add fori_loop form on a CPU mesh
+    where XLA:CPU compile time is the binding constraint (the multi-chip
+    dryrun budget)."""
     gathered = jax.tree.map(
         lambda a: jax.lax.all_gather(a, axis_name, axis=a.ndim, tiled=False),
         part,
     )  # leaves: (..., n_dev)
-    return g1.tree_reduce(G1XYZZ(*gathered), unroll=True)
+    return g1.tree_reduce(G1XYZZ(*gathered), unroll=unroll)
 
 
 def msm_fixed_sharded(
@@ -60,7 +65,7 @@ def msm_fixed_sharded(
         part = m.msm_fixed_core(
             m.FixedBaseTable(tx, ty, tinf, c), sc, use_pallas=use_pallas
         )
-        full = _combine_gathered(part, point_axis)
+        full = _combine_gathered(part, point_axis, unroll=use_pallas)
         return G1XYZZ(*(a[..., 0] for a in full))
 
     fn = shard_map(
@@ -97,7 +102,7 @@ def msm_sharded(
 
     def shard_fn(px, py, pinf, sc):
         part = m.msm_core(G1Aff(px, py, pinf), sc, c, use_pallas=use_pallas)
-        full = _combine_gathered(part, point_axis)
+        full = _combine_gathered(part, point_axis, unroll=use_pallas)
         return G1XYZZ(*(a[..., 0] for a in full))
 
     fn = shard_map(

@@ -1439,21 +1439,30 @@ static void g2_prepare(const Fp2 &qx, const Fp2 &qy, PreparedG2 &out) {
 }
 
 // 4-entry round-robin cache; the protocol only ever pairs against [1]_2 and
-// [s]_2, so after the first verification every call hits. Callers hold
-// g_pairing_mutex for the duration of the pairing (the returned pointer
-// aliases the cache).
+// [s]_2, so after the first verification every call hits. prep_fetch COPIES
+// the entry out under a short-lived lock (~21 KB memcpy): callers never hold
+// pointers into the cache, so (a) a later miss in the same verification
+// cannot evict an entry a caller is still reading -- round-robin eviction
+// with >4 distinct G2 points (e.g. multiproof's g2_monomial[n] values) made
+// the aliasing version return wrong pairing verdicts -- and (b) the Miller
+// loop + final exponentiation run UNLOCKED, so verifications proceed
+// concurrently across threads (only the table build/copy serializes).
 #include <mutex>
 static PreparedG2 g_prep_cache[4];
 static int g_prep_next = 0;
-static std::mutex g_pairing_mutex;
+static std::mutex g_prep_mutex;
 
-static const PreparedG2 *prep_lookup(const Fp2 &qx, const Fp2 &qy) {
+static void prep_fetch(const Fp2 &qx, const Fp2 &qy, PreparedG2 &out) {
+    std::lock_guard<std::mutex> lock(g_prep_mutex);
     for (auto &p : g_prep_cache)
-        if (p.valid && fp2_eq(p.qx, qx) && fp2_eq(p.qy, qy)) return &p;
+        if (p.valid && fp2_eq(p.qx, qx) && fp2_eq(p.qy, qy)) {
+            out = p;
+            return;
+        }
     PreparedG2 &slot = g_prep_cache[g_prep_next];
     g_prep_next = (g_prep_next + 1) & 3;
     g2_prepare(qx, qy, slot);
-    return &slot;
+    out = slot;
 }
 
 // f_{|x|,Q1}(P1) * f_{|x|,Q2}(P2) with ONE shared squaring chain, from
@@ -1968,10 +1977,11 @@ int kzgn_pairings_verify(const uint8_t a1[96], int a1_inf, const uint8_t a2[192]
     fp_neg(na1y, a1y);
     bool skip_a = a1_inf != 0 || a2_inf != 0;
     bool skip_b = b1_inf != 0 || b2_inf != 0;
-    std::lock_guard<std::mutex> lock(g_pairing_mutex);
-    const PreparedG2 *pa = skip_a ? nullptr : prep_lookup(a2x, a2y);
-    const PreparedG2 *pb = skip_b ? nullptr : prep_lookup(b2x, b2y);
-    Fp12 f = miller_loop_dual_prepared(a1x, na1y, skip_a, pa, b1x, b1y, skip_b, pb);
+    static thread_local PreparedG2 pa_buf, pb_buf;
+    if (!skip_a) prep_fetch(a2x, a2y, pa_buf);
+    if (!skip_b) prep_fetch(b2x, b2y, pb_buf);
+    Fp12 f = miller_loop_dual_prepared(a1x, na1y, skip_a, skip_a ? nullptr : &pa_buf,
+                                       b1x, b1y, skip_b, skip_b ? nullptr : &pb_buf);
     Fp12 e = final_exponentiation(f);
     return fp12_is_one(e) ? 1 : 0;
 }
@@ -2064,10 +2074,11 @@ int kzgn_verify_kzg_proof(const uint8_t commitment[48], const uint8_t z_be[32],
     fp_neg(nly, ly);
     bool skip_l = lhs_inf;
     bool skip_p = rc_p == 1 || g2s_inf != 0;
-    std::lock_guard<std::mutex> lock(g_pairing_mutex);
-    const PreparedG2 *pl = skip_l ? nullptr : prep_lookup(g2x, g2y);
-    const PreparedG2 *pp = skip_p ? nullptr : prep_lookup(sx, sy);
-    Fp12 f = miller_loop_dual_prepared(lx, nly, skip_l, pl, px, py, skip_p, pp);
+    static thread_local PreparedG2 pl_buf, pp_buf;
+    if (!skip_l) prep_fetch(g2x, g2y, pl_buf);
+    if (!skip_p) prep_fetch(sx, sy, pp_buf);
+    Fp12 f = miller_loop_dual_prepared(lx, nly, skip_l, skip_l ? nullptr : &pl_buf,
+                                       px, py, skip_p, skip_p ? nullptr : &pp_buf);
     Fp12 e = final_exponentiation(f);
     return fp12_is_one(e) ? 1 : 0;
 }
@@ -2190,56 +2201,158 @@ int kzgn_g2_add(const uint8_t p_xy[192], int p_inf, const uint8_t q_xy[192], int
 // (role parity: the 3-MSM fold of verify_kzg_proof_batch,
 // /root/reference/kzg/src/eip_4844.rs:380-435). Returns 1 if the result is
 // the point at infinity, 0 otherwise, -1 on undecodable input.
-int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
-                const uint8_t *scalars_be, uint8_t *out_xy) {
-    struct E4 { uint64_t w[4]; };
-    // window size: minimize ceil(256/c) * (n + 2^(c+1))
+// Mixed Jacobian + affine addition (madd-2007-bl, ~8M+4S vs 12M+4S for the
+// full Jacobian add) -- the bucket-accumulation hot op: every MSM input is
+// affine. Handles identity/doubling edges.
+static void jac_add_affine(Jac<Fp> &r, const Jac<Fp> &p, const Fp &qx, const Fp &qy) {
+    if (p.inf) {
+        r = {qx, qy, FieldOps<Fp>::one(), false};
+        return;
+    }
+    Fp z1z1, u2, t, s2;
+    fp_sqr(z1z1, p.z);
+    fp_mul(u2, qx, z1z1);
+    fp_mul(t, p.z, z1z1);
+    fp_mul(s2, qy, t);
+    if (fp_eq(u2, p.x)) {
+        if (fp_eq(s2, p.y)) {
+            jac_double(r, p);
+            return;
+        }
+        r = jac_identity<Fp>();
+        return;
+    }
+    Fp h, hh, i, j, rr, v;
+    fp_sub(h, u2, p.x);
+    fp_sqr(hh, h);
+    fp_add(i, hh, hh);
+    fp_add(i, i, i);          // I = 4 HH
+    fp_mul(j, h, i);          // J = H*I
+    fp_sub(rr, s2, p.y);
+    fp_add(rr, rr, rr);       // r = 2(S2 - Y1)
+    fp_mul(v, p.x, i);        // V = X1*I
+    Fp x3, y3, z3;
+    fp_sqr(x3, rr);
+    fp_sub(x3, x3, j);
+    fp_sub(x3, x3, v);
+    fp_sub(x3, x3, v);        // X3 = r^2 - J - 2V
+    fp_sub(t, v, x3);
+    fp_mul(t, rr, t);
+    Fp y1j;
+    fp_mul(y1j, p.y, j);
+    fp_add(y1j, y1j, y1j);
+    fp_sub(y3, t, y1j);       // Y3 = r(V - X3) - 2 Y1 J
+    fp_add(z3, p.z, h);
+    fp_sqr(z3, z3);
+    fp_sub(z3, z3, z1z1);
+    fp_sub(z3, z3, hh);       // Z3 = (Z1 + H)^2 - Z1Z1 - HH
+    r = {x3, y3, z3, false};
+}
+
+// floor-divide a 256-bit value (4 LE u64 limbs) by a 128-bit divisor,
+// binary long division. Returns quotient in q (2 limbs), remainder in rem
+// (2 limbs). Preconditions (met by the GLV split below): quotient and
+// remainder both fit 128 bits.
+static void div256_128(const uint64_t k[4], unsigned __int128 d,
+                       unsigned __int128 &q, unsigned __int128 &rem) {
+    q = 0;
+    unsigned __int128 r2 = 0;
+    for (int i = 255; i >= 0; i--) {
+        // r2 = (r2 << 1) | bit_i(k); r2 stays < 2d < 2^129 -> track overflow
+        int carry = (int)(r2 >> 127);
+        r2 = (r2 << 1) | ((k[i / 64] >> (i % 64)) & 1);
+        if (carry || r2 >= d) {
+            r2 -= d;
+            if (i < 128) q |= (unsigned __int128)1 << i;
+        }
+    }
+    rem = r2;
+}
+
+struct HostAff { Fp x, y; };
+
+// Variable-base MSM core on the host: GLV-split Pippenger with signed
+// digits and mixed-affine bucket accumulation.
+//   k*P = k1*P + k2*psi(P),  psi(P) = [x^2]P = (beta * xP, -yP),
+// an exact integer identity (k = k1 + k2 * x^2, k1 = k mod x^2), so both
+// halves are < 2^128: half the windows of the 256-bit ladder. Buckets use
+// signed digits (half the buckets) and every accumulation is a mixed add
+// into affine inputs. This is the latency tail of batch verification
+// (parity role: blst_p1s_mult_pippenger in
+// /root/reference/blst/src/types/g1.rs:242-273; expression original).
+// pts/scalars: n entries, already decompressed / canonical (inf entries
+// excluded by callers).
+static void msm_host(const HostAff *in_pts, const uint64_t (*in_sc)[4],
+                     size_t n, Jac<Fp> &out) {
+    // 2n GLV halves; window cost: ceil(129/c) * (2n + 2^(c-1) doubles-worth)
     int c = 4;
     double best = 1e30;
-    for (int t = 4; t <= 12; t++) {
-        double cost = (double)((256 + t - 1) / t) * ((double)n + (double)(2u << t));
+    for (int t = 3; t <= 12; t++) {
+        double cost = (double)((129 + t - 1) / t) *
+                      (2.0 * (double)n + 1.6 * (double)(1u << (t - 1)) + t);
         if (cost < best) { best = cost; c = t; }
     }
-    Jac<Fp> *pts = new Jac<Fp>[n ? n : 1];
-    E4 *es = new E4[n ? n : 1];
+    const unsigned __int128 X2 =
+        (unsigned __int128)BLS_X_ABS * (unsigned __int128)BLS_X_ABS;
+    Fp beta;
+    memcpy(beta.l, BETA_G1_MONT, sizeof beta.l);
+
+    size_t cap = 2 * (n ? n : 1);
+    HostAff *pts = new HostAff[cap];       // even: P (k1), odd: psi(P) (k2)
+    unsigned __int128 *ks = new unsigned __int128[cap];
     size_t m = 0;
-    bool bad = false;
     for (size_t i = 0; i < n; i++) {
-        if (inf && inf[i]) continue;
-        Fp x, y;
-        if (!fp_from_be(x, xy + i * 96) || !fp_from_be(y, xy + i * 96 + 48)) {
-            bad = true;
-            break;
+        unsigned __int128 k1, k2;
+        div256_128(in_sc[i], X2, k2, k1);  // k = k1 + k2 * x^2
+        if (k1) {
+            pts[m] = in_pts[i];
+            ks[m] = k1;
+            m++;
         }
-        for (int k = 0; k < 4; k++) {
-            uint64_t v = 0;
-            for (int j = 0; j < 8; j++)
-                v = (v << 8) | scalars_be[i * 32 + (size_t)(3 - k) * 8 + j];
-            es[m].w[k] = v;
+        if (k2) {
+            fp_mul(pts[m].x, in_pts[i].x, beta);  // psi(P) = (beta x, -y)
+            fp_neg(pts[m].y, in_pts[i].y);
+            ks[m] = k2;
+            m++;
         }
-        pts[m] = jac_from_affine<Fp>(x, y);
-        m++;
     }
-    if (bad) {
-        delete[] pts;
-        delete[] es;
-        return -1;
+    int windows = (129 + c - 1) / c;
+    size_t nbuckets = (size_t)1 << (c - 1); // signed digits: |d| in [1, 2^(c-1)]
+    uint32_t mask = (1u << c) - 1;
+    // precompute signed digits: digits[i*windows + w], carry-chain once
+    int16_t *digits = new int16_t[(m ? m : 1) * (size_t)windows];
+    for (size_t i = 0; i < m; i++) {
+        unsigned __int128 k = ks[i];
+        uint32_t carry = 0;
+        for (int ww = 0; ww < windows; ww++) {
+            uint32_t d = (uint32_t)((k >> (ww * c)) & mask) + carry;
+            carry = 0;
+            int16_t sd = (int16_t)d;
+            if (d > nbuckets) {            // d > 2^(c-1): use d - 2^c, carry 1
+                sd = -(int16_t)((1u << c) - d);
+                carry = 1;
+            }
+            digits[i * (size_t)windows + ww] = sd;
+        }
     }
-    int windows = (256 + c - 1) / c;
-    size_t nbuckets = ((size_t)1 << c) - 1;
     Jac<Fp> *buckets = new Jac<Fp>[nbuckets];
     Jac<Fp> acc = jac_identity<Fp>();
     for (int w = windows - 1; w >= 0; w--) {
         if (!acc.inf)
             for (int d = 0; d < c; d++) jac_double(acc, acc);
         for (size_t b = 0; b < nbuckets; b++) buckets[b] = jac_identity<Fp>();
-        int bit = w * c;
         for (size_t i = 0; i < m; i++) {
-            uint32_t digit = 0;
-            for (int k = 0; k < c && bit + k < 256; k++)
-                digit |= (uint32_t)((es[i].w[(bit + k) / 64] >> ((bit + k) % 64)) & 1)
-                         << k;
-            if (digit) jac_add(buckets[digit - 1], buckets[digit - 1], pts[i]);
+            int16_t sd = digits[i * (size_t)windows + w];
+            if (!sd) continue;
+            uint32_t digit = (uint32_t)(sd < 0 ? -sd : sd);
+            Jac<Fp> &b = buckets[digit - 1];
+            if (sd > 0) {
+                jac_add_affine(b, b, pts[i].x, pts[i].y);
+            } else {
+                Fp ny;
+                fp_neg(ny, pts[i].y);
+                jac_add_affine(b, b, pts[i].x, ny);
+            }
         }
         Jac<Fp> running = jac_identity<Fp>(), total = jac_identity<Fp>();
         for (size_t d = nbuckets; d-- > 0;) {
@@ -2249,8 +2362,45 @@ int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
         jac_add(acc, acc, total);
     }
     delete[] buckets;
+    delete[] digits;
     delete[] pts;
-    delete[] es;
+    delete[] ks;
+    out = acc;
+}
+
+int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
+                const uint8_t *scalars_be, uint8_t *out_xy) {
+    HostAff *pts = new HostAff[n ? n : 1];
+    typedef uint64_t Sc4[4];
+    Sc4 *sc = new Sc4[n ? n : 1];
+    size_t m = 0;
+    bool bad = false;
+    for (size_t i = 0; i < n; i++) {
+        if (inf && inf[i]) continue;
+        Fp x, y;
+        if (!fp_from_be(x, xy + i * 96) || !fp_from_be(y, xy + i * 96 + 48)) {
+            bad = true;
+            break;
+        }
+        for (int kk = 0; kk < 4; kk++) {
+            uint64_t v = 0;
+            for (int j = 0; j < 8; j++)
+                v = (v << 8) | scalars_be[i * 32 + (size_t)(3 - kk) * 8 + j];
+            sc[m][kk] = v;
+        }
+        pts[m].x = x;
+        pts[m].y = y;
+        m++;
+    }
+    if (bad) {
+        delete[] pts;
+        delete[] sc;
+        return -1;
+    }
+    Jac<Fp> acc;
+    msm_host(pts, sc, m, acc);
+    delete[] pts;
+    delete[] sc;
     Fp rx, ry;
     if (!jac_to_affine(rx, ry, acc)) {
         memset(out_xy, 0, 96);
@@ -2261,6 +2411,149 @@ int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
     return 0;
 }
 
-int kzgn_version() { return 3; }
+// Fused batch-verification host tail: decompress commitments + proofs (fast
+// subgroup checks), build the two folded linear combinations
+//   lhs = sum_i r_i proof_i
+//   rhs = sum_i r_i C_i + sum_i (r_i z_i) proof_i - (sum_i r_i y_i) G
+// and decide e(lhs, [s]_2) == e(rhs, H) with the prepared-line dual Miller
+// loop. ONE call replaces decompress + 2 MSM + pairing round trips through
+// Python (parity: verify_blob_kzg_proof_batch_rust,
+// /root/reference/kzg/src/eip_4844.rs:736-832, algebraically folded as in
+// kzg_tpu/eip4844.py:verify_blob_kzg_proof_batch).
+// r_be: the batch challenge; zs/ys: canonical 32-byte BE each.
+// Returns 1 verified, 0 not, -1 bad point, -2 bad scalar,
+// -100-i invalid commitment i, -200-i invalid proof i.
+int kzgn_verify_blob_batch_tail(const uint8_t *commitments_comp,
+                                const uint8_t *proofs_comp, size_t n,
+                                const uint8_t *zs_be, const uint8_t *ys_be,
+                                const uint8_t r_be[32],
+                                const uint8_t g2s[192], int g2s_inf) {
+    if (!n) return 1;
+    struct Pt { Fp x, y; bool inf; };
+    Pt *cs = new Pt[n], *ps = new Pt[n];
+    long bad = 0;
+    for (size_t i = 0; i < n && !bad; i++) {
+        int rc = g1_decompress(commitments_comp + 48 * i, cs[i].x, cs[i].y, true);
+        if (rc < 0) bad = -100 - (long)i;
+        cs[i].inf = rc == 1;
+    }
+    for (size_t i = 0; i < n && !bad; i++) {
+        int rc = g1_decompress(proofs_comp + 48 * i, ps[i].x, ps[i].y, true);
+        if (rc < 0) bad = -200 - (long)i;
+        ps[i].inf = rc == 1;
+    }
+    Fr r, rpow, ry_sum;
+    if (!bad && !fr_from_be(r, r_be)) bad = -2;
+    if (bad) {
+        delete[] cs;
+        delete[] ps;
+        return (int)bad;
+    }
+    rpow = fr_one_mont();
+    memset(&ry_sum, 0, sizeof ry_sum);
+    // entries: lhs MSM over proofs with r_i; rhs MSM over [C_i | proof_i]
+    // with [r_i | r_i z_i]; the -sum(r_i y_i) G term appended last.
+    HostAff *lhs_pts = new HostAff[n];
+    typedef uint64_t Sc4[4];
+    Sc4 *lhs_sc = new Sc4[n];
+    HostAff *rhs_pts = new HostAff[2 * n + 1];
+    Sc4 *rhs_sc = new Sc4[2 * n + 1];
+    size_t ml = 0, mr = 0;
+    Fr one_raw;  // for Montgomery -> canonical reduction
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+    for (size_t i = 0; i < n; i++) {
+        Fr z, y;
+        if (!fr_from_be(z, zs_be + 32 * i) || !fr_from_be(y, ys_be + 32 * i)) {
+            bad = -2;
+            break;
+        }
+        Fr ri_can;
+        fr_mul(ri_can, rpow, one_raw);       // canonical r_i
+        Fr rz_m, rz_can;
+        fr_mul(rz_m, rpow, z);               // Montgomery(r_i * z_i)
+        fr_mul(rz_can, rz_m, one_raw);       // reduce to canonical
+        Fr ry_m;
+        fr_mul(ry_m, rpow, y);
+        fr_add(ry_sum, ry_sum, ry_m);
+        if (!ps[i].inf) {
+            lhs_pts[ml].x = ps[i].x;
+            lhs_pts[ml].y = ps[i].y;
+            memcpy(lhs_sc[ml], ri_can.l, 32);
+            ml++;
+            rhs_pts[mr].x = ps[i].x;
+            rhs_pts[mr].y = ps[i].y;
+            memcpy(rhs_sc[mr], rz_can.l, 32);
+            mr++;
+        }
+        if (!cs[i].inf) {
+            rhs_pts[mr].x = cs[i].x;
+            rhs_pts[mr].y = cs[i].y;
+            memcpy(rhs_sc[mr], ri_can.l, 32);
+            mr++;
+        }
+        fr_mul(rpow, rpow, r);
+    }
+    delete[] cs;
+    delete[] ps;
+    if (bad) {
+        delete[] lhs_pts;
+        delete[] lhs_sc;
+        delete[] rhs_pts;
+        delete[] rhs_sc;
+        return (int)bad;
+    }
+    // - (sum r_i y_i) G term
+    Fr ry_can;
+    fr_mul(ry_can, ry_sum, one_raw);
+    bool ry_zero = !(ry_can.l[0] | ry_can.l[1] | ry_can.l[2] | ry_can.l[3]);
+    if (!ry_zero) {
+        uint64_t neg[4];
+        uint64_t borrow = 0;
+        for (int i = 0; i < 4; i++) {
+            unsigned __int128 d = (unsigned __int128)R_LIMBS[i] -
+                                  ry_can.l[i] - borrow;
+            neg[i] = (uint64_t)d;
+            borrow = (d >> 64) ? 1 : 0;
+        }
+        memcpy(rhs_pts[mr].x.l, G1_GEN_X_MONT, sizeof rhs_pts[mr].x.l);
+        memcpy(rhs_pts[mr].y.l, G1_GEN_Y_MONT, sizeof rhs_pts[mr].y.l);
+        memcpy(rhs_sc[mr], neg, 32);
+        mr++;
+    }
+    Jac<Fp> lhs_j, rhs_j;
+    msm_host(lhs_pts, lhs_sc, ml, lhs_j);
+    msm_host(rhs_pts, rhs_sc, mr, rhs_j);
+    delete[] lhs_pts;
+    delete[] lhs_sc;
+    delete[] rhs_pts;
+    delete[] rhs_sc;
+    Fp lx = FP_ZERO, ly = FP_ZERO, rx = FP_ZERO, ryy = FP_ZERO;
+    bool lhs_inf = !jac_to_affine(lx, ly, lhs_j);
+    bool rhs_inf = !jac_to_affine(rx, ryy, rhs_j);
+    // e(-lhs, [s]_2) * e(rhs, H) == 1
+    Fp2 sx = FP2_ZERO_V, sy = FP2_ZERO_V, hx, hy;
+    if (!g2s_inf &&
+        (!fp_from_be(sx.c0, g2s) || !fp_from_be(sx.c1, g2s + 48) ||
+         !fp_from_be(sy.c0, g2s + 96) || !fp_from_be(sy.c1, g2s + 144)))
+        return -1;
+    memcpy(hx.c0.l, G2_GEN_X0_MONT, sizeof hx.c0.l);
+    memcpy(hx.c1.l, G2_GEN_X1_MONT, sizeof hx.c1.l);
+    memcpy(hy.c0.l, G2_GEN_Y0_MONT, sizeof hy.c0.l);
+    memcpy(hy.c1.l, G2_GEN_Y1_MONT, sizeof hy.c1.l);
+    Fp nly;
+    fp_neg(nly, ly);
+    bool skip_l = lhs_inf || g2s_inf != 0;
+    bool skip_r = rhs_inf;
+    static thread_local PreparedG2 pl_buf, pr_buf;
+    if (!skip_l) prep_fetch(sx, sy, pl_buf);
+    if (!skip_r) prep_fetch(hx, hy, pr_buf);
+    Fp12 f = miller_loop_dual_prepared(lx, nly, skip_l, skip_l ? nullptr : &pl_buf,
+                                       rx, ryy, skip_r, skip_r ? nullptr : &pr_buf);
+    Fp12 e = final_exponentiation(f);
+    return fp12_is_one(e) ? 1 : 0;
+}
+
+int kzgn_version() { return 4; }
 
 }  // extern "C"

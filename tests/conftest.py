@@ -20,17 +20,13 @@ _plat = os.environ.get("JAX_PLATFORMS", "")
 if _plat and "cpu" not in _plat:
     os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 # Persistent compilation cache: the limb-arithmetic graphs are cheap to run
-# but slow for XLA:CPU to compile; cache them across test sessions. The dir
-# is partitioned by compile mode (remote-compile sessions emit XLA:CPU AOT
-# code for the remote host's CPU, which can hang if executed locally) — keep
-# in sync with kzg_tpu/__init__.py.
-_mode = "remote" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(
-        os.path.expanduser("~"), ".cache", "kzg_tpu", f"jax_cache_{_mode}"
-    ),
-)
+# but slow for XLA:CPU to compile; cache them across test sessions. The
+# partition logic (forced-CPU -> host-fingerprinted local dir; accelerator
+# behind a remote compile service -> "remote") lives in kzg_tpu/__init__,
+# which is importable before jax (it only reads env vars here).
+import kzg_tpu as _kzg_tpu
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _kzg_tpu.compile_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -114,6 +114,72 @@ def test_pairings_verify_vs_oracle_random():
         assert native.pairings_verify(a1, a2, b1, b2) == oracle_pv(a1, a2, b1, b2)
 
 
+def test_prepared_g2_cache_interleave():
+    """Cycle >4 distinct G2 points through the 4-entry prepared-line cache
+    in hit/miss interleavings. Regression for the round-robin eviction bug:
+    when the first lookup of a verification HIT the slot that round-robin
+    eviction chose for the second lookup's MISS, the first pairing read the
+    wrong line tables and the verdict was silently wrong. Uses
+    e(v*G, u*H) == e(u*G, v*H) so every (i, j) combination has a known
+    verdict."""
+    us = [rng.randrange(1, R) for _ in range(6)]
+    qs = [G2.mul_scalar(G2_GENERATOR, u) for u in us]
+    ps = [G1.mul_scalar(G1_GENERATOR, u) for u in us]
+    for i in range(6):
+        for j in range(6):
+            if i == j:
+                continue
+            assert native.pairings_verify(ps[j], qs[i], ps[i], qs[j]), (i, j)
+    # and a few negative cases through the same (now fully cycled) cache
+    assert not native.pairings_verify(ps[0], qs[1], ps[2], qs[3])
+    assert not native.pairings_verify(G1_GENERATOR, qs[4], G1_GENERATOR, qs[5])
+
+
+def test_verify_blob_batch_tail_linear_poly(oracle_settings):
+    """Fused batch tail (decompress + folded MSMs + dual pairing in one
+    native call) on hand-built linear polynomials p_i(x) = a_i + b_i x:
+    commitment = a G + b [s]G, proof = b G, y = a + b z -- no oracle MSMs
+    needed, so the full true/false/badargs matrix runs in seconds."""
+    from kzg_tpu.eip4844 import _batch_challenge_r
+    from kzg_tpu.oracle.serialization import g1_to_bytes
+
+    s = oracle_settings
+    s1g = s.g1_monomial[1]  # [s]G1
+    n = 3
+    abs_ = [(rng.randrange(1, R), rng.randrange(1, R)) for _ in range(n)]
+    zs = [rng.randrange(R) for _ in range(n)]
+    cs, ps, ys = [], [], []
+    for (a, b), z in zip(abs_, zs):
+        c_pt = G1.affine_add(
+            G1.mul_scalar(G1_GENERATOR, a), G1.mul_scalar(s1g, b)
+        )
+        cs.append(g1_to_bytes(c_pt))
+        ps.append(g1_to_bytes(G1.mul_scalar(G1_GENERATOR, b)))
+        ys.append((a + b * z) % R)
+    r = _batch_challenge_r(cs, zs, ys, ps)
+    assert (
+        native.verify_blob_batch_tail(
+            b"".join(cs), b"".join(ps), n, zs, ys, r, s.g2_monomial[1]
+        )
+        is True
+    )
+    # wrong y -> False
+    ys_bad = [ys[0], (ys[1] + 1) % R, ys[2]]
+    r2 = _batch_challenge_r(cs, zs, ys_bad, ps)
+    assert (
+        native.verify_blob_batch_tail(
+            b"".join(cs), b"".join(ps), n, zs, ys_bad, r2, s.g2_monomial[1]
+        )
+        is False
+    )
+    # malformed proof -> ValueError naming the index
+    bad = b"\xc0" + b"\x11" * 47
+    with pytest.raises(ValueError):
+        native.verify_blob_batch_tail(
+            b"".join(cs), b"".join(ps[:2]) + bad, n, zs, ys, r, s.g2_monomial[1]
+        )
+
+
 def test_pairings_infinity_semantics():
     p = rand_g1()
     q = G2.mul_scalar(G2_GENERATOR, 5)

@@ -29,7 +29,9 @@ def _rand_fr(n, seed=0):
 
 @pytest.mark.parametrize(
     "log_n,inverse",
-    [(8, False), (13, False), (12, True)],
+    # log_n=15 is the production blob-FFT size (tb=4): exercises kernel C's
+    # multi-tile per-stage tiling and the full VMEM footprint
+    [(8, False), (13, False), (12, True), (15, False)],
 )
 def test_matches_xla_fft(log_n, inverse):
     n = 1 << log_n
