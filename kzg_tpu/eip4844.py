@@ -721,9 +721,21 @@ def verify_blob_kzg_proof_batch(
 
     npad = 1 << max(0, (n - 1)).bit_length()
     use_mesh = mesh is not None and npad % mesh.shape["blobs"] == 0
+    # Eval placement: a mesh evaluates on its devices (sharded program); a
+    # single remote-attached chip evaluates on the HOST via the native
+    # batch barycentric (one batch inversion over all n*4096 denominators,
+    # ~1.5 ms/blob) -- the 8.4 MB/64-blob upload is wire-bound on the
+    # tunnel (hundreds of ms), which made the device eval the whole batch
+    # latency. KZG_TPU_HOST_EVAL=0 forces the device program (the right
+    # choice for a locally-attached chip where PCIe upload is ~1 ms).
+    host_eval = (
+        not use_mesh
+        and native.available()
+        and os.environ.get("KZG_TPU_HOST_EVAL", "1") == "1"
+    )
     if use_mesh:
         limbs = bs.blobs_to_scalars(list(blobs) + [blobs[0]] * (npad - n))
-    else:
+    elif not host_eval:
         wire = b"".join(blobs) + blobs[0] * (npad - n)
         words = np.frombuffer(wire, dtype=np.uint32).reshape(
             npad, FIELD_ELEMENTS_PER_BLOB, 8
@@ -733,14 +745,22 @@ def verify_blob_kzg_proof_batch(
         _mark("device_put_dispatch")
     zs = [compute_challenge(b, c) for b, c in zip(blobs, commitments_bytes)]
     _mark("challenges_sha")
-    zl = jnp.asarray(fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs))[
-        :, :, None
-    ]
-    if use_mesh:
+    if host_eval:
+        ys = native.eval_blobs_batch(
+            b"".join(blobs), n, zs, s.roots_brp_mont_bytes
+        )
+        _mark("eval_host")
+    elif use_mesh:
+        zl = jnp.asarray(
+            fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs)
+        )[:, :, None]
         ys = _y_to_ints(
             _eval_program_sharded(mesh, jnp.asarray(limbs), zl, s.roots_brp_mont)
         )[:n]
     else:
+        zl = jnp.asarray(
+            fl.ints_to_limbs(zs + [zs[0]] * (npad - n), FR.n_limbs)
+        )[:, :, None]
         out = np.asarray(_eval_program_bytes(dev, zl, s.roots_brp_mont))
         _mark("eval_fenced")
         if not out[0, :n].all():

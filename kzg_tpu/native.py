@@ -44,6 +44,7 @@ def _load():
                 lib.kzgn_verify_kzg_proof.restype = ctypes.c_int
                 lib.kzgn_g1_in_subgroup.restype = ctypes.c_int
                 lib.kzgn_verify_blob_batch_tail.restype = ctypes.c_int
+                lib.kzgn_eval_blobs_batch.restype = ctypes.c_long
                 return lib
             except OSError:
                 continue
@@ -370,3 +371,28 @@ def eval_barycentric_4096(
     if rc != 0:
         return None
     return out.raw
+
+
+def eval_blobs_batch(
+    blobs_wire: bytes, n: int, zs: List[int], roots_brp_bytes: bytes
+) -> Optional[List[int]]:
+    """Host barycentric evaluation of n blobs at n points with ONE batch
+    inversion across all n*4096 denominators -- keeps batch verification off
+    the wire entirely (the 8.4 MB/64-blob upload is the remote-attached
+    chip's bottleneck). Returns the list of y ints, or None when the native
+    library is unavailable. Raises ValueError on non-canonical scalars
+    (message matches the device path)."""
+    if _lib is None:
+        return None
+    zs_be = b"".join(z.to_bytes(32, "big") for z in zs)
+    out = ctypes.create_string_buffer(32 * n)
+    rc = _lib.kzgn_eval_blobs_batch(
+        blobs_wire, ctypes.c_size_t(n), zs_be, roots_brp_bytes, out
+    )
+    if rc > 0:
+        raise ValueError("Invalid blob: scalar is not canonical")
+    if rc < 0:
+        raise ValueError("Invalid scalar: not canonical")
+    return [
+        int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "big") for i in range(n)
+    ]

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 #include "constants.h"
 
@@ -1814,6 +1815,107 @@ extern "C" int kzgn_eval_barycentric_4096(const uint8_t *blob_be, const uint8_t 
     memcpy(invn.l, FR_INV4096_MONT, 32);
     fr_mul(y, y, invn);
     fr_to_be(y_out, y);
+    return 0;
+}
+
+// Batch barycentric evaluation: n blobs at n points, ONE Montgomery batch
+// inversion across all n*4096 denominators (the per-blob inverse chain --
+// ~255 muls -- amortizes to nothing). This keeps the whole evaluation on
+// the HOST: on a remote-attached TPU the 8.4 MB blob upload is wire-bound
+// (hundreds of ms), while this loop is ~1.5 ms/blob of scalar Fr work.
+// blobs_be: n*4096*32 canonical BE; zs_be: n*32; roots_mont: 4096 raw
+// little-endian Montgomery Fr limbs (the cached settings table).
+// Returns 0 ok (ys_out: n*32 BE), i+1 if blob i has a non-canonical
+// scalar, -(i+1) if z_i is non-canonical.
+// raw (non-Montgomery) canonical parse: fr_from_be minus the to-Montgomery
+// multiply. fr_mul(mont(a), raw(b)) = a*b raw -- the barycentric weights
+// stay Montgomery and the blob values stay raw, so each element costs one
+// mul less than converting the whole blob.
+static bool fr_raw_from_be(Fr &r, const uint8_t *be) {
+    uint64_t t[4];
+    for (int i = 0; i < 4; i++) {
+        uint64_t v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | be[(3 - i) * 8 + j];
+        t[i] = v;
+    }
+    if (geq(t, R_LIMBS, 4)) return false;
+    memcpy(r.l, t, 32);
+    return true;
+}
+
+extern "C" long kzgn_eval_blobs_batch(const uint8_t *blobs_be, size_t n,
+                                      const uint8_t *zs_be,
+                                      const uint8_t *roots_mont,
+                                      uint8_t *ys_out) {
+    const int N = 4096;
+    std::vector<Fr> roots(N);
+    memcpy(roots.data(), roots_mont, 32 * (size_t)N);
+    std::vector<Fr> poly((size_t)n * N), diff((size_t)n * N), pref(N);
+    std::vector<Fr> zv(n);
+    Fr invn, one = fr_one_mont();
+    memcpy(invn.l, FR_INV4096_MONT, 32);
+    for (size_t b = 0; b < n; b++)
+        if (!fr_from_be(zv[b], zs_be + 32 * b)) return -(long)(b + 1);
+    for (size_t b = 0; b < n; b++) {
+        Fr *pb = &poly[b * N];
+        const uint8_t *src = blobs_be + (size_t)b * N * 32;
+        for (int i = 0; i < N; i++)
+            if (!fr_raw_from_be(pb[i], src + 32 * i)) return (long)(b + 1);
+    }
+    // per-blob inversion chains: 4096-long prefix products + one inverse
+    // each (n x 255-mul inverses amortize to ~1 mul/element-chunk); keeps
+    // chains short and independent for CPU pipelining / future SIMD lanes.
+    for (size_t b = 0; b < n; b++) {
+        Fr *pb = &poly[b * N];
+        Fr *db = &diff[b * N];
+        int in_dom = -1;
+        for (int i = 0; i < N; i++) {
+            fr_sub(db[i], zv[b], roots[i]);
+            if (fr_is_zero(db[i])) {
+                in_dom = i;
+                db[i] = one;
+            }
+        }
+        if (in_dom >= 0) {
+            // y = poly[in_dom]; raw IS canonical -- write big-endian directly
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 8; j++)
+                    ys_out[32 * b + (3 - i) * 8 + j] =
+                        (uint8_t)(pb[in_dom].l[i] >> (56 - 8 * j));
+            continue;
+        }
+        pref[0] = db[0];
+        for (int i = 1; i < N; i++) fr_mul(pref[i], pref[i - 1], db[i]);
+        Fr acc;
+        fr_inv(acc, pref[N - 1]);
+        Fr ysum;
+        memset(&ysum, 0, sizeof ysum);
+        for (int i = N; i-- > 0;) {
+            Fr invd;
+            if (i == 0)
+                invd = acc;
+            else
+                fr_mul(invd, acc, pref[i - 1]);
+            fr_mul(acc, acc, db[i]);
+            Fr w, term;
+            fr_mul(w, roots[i], invd);    // Montgomery weight
+            fr_mul(term, w, pb[i]);       // mont * raw = raw product
+            fr_add(ysum, ysum, term);
+        }
+        // ysum is raw; fold in (z^n - 1)/n (both Montgomery):
+        // mont*raw=raw each time
+        Fr zp = zv[b];
+        for (int k = 0; k < 12; k++) fr_mul(zp, zp, zp);
+        Fr fac;
+        fr_sub(fac, zp, one);
+        fr_mul(ysum, fac, ysum);          // raw
+        fr_mul(ysum, invn, ysum);         // raw
+        // raw -> canonical BE: raw IS canonical; write big-endian directly
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 8; j++)
+                ys_out[32 * b + (3 - i) * 8 + j] =
+                    (uint8_t)(ysum.l[i] >> (56 - 8 * j));
+    }
     return 0;
 }
 
