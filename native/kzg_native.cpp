@@ -1827,6 +1827,280 @@ extern "C" int kzgn_eval_barycentric_4096(const uint8_t *blob_be, const uint8_t 
 // little-endian Montgomery Fr limbs (the cached settings table).
 // Returns 0 ok (ys_out: n*32 BE), i+1 if blob i has a non-canonical
 // scalar, -(i+1) if z_i is non-canonical.
+// ---------------------------------------------------------------------------
+// 8-lane Fr arithmetic with AVX-512 IFMA (vpmadd52): radix-2^52, 5 limbs,
+// Montgomery R52 = 2^260. Vertical layout: __m512i limb[k] holds limb k of 8
+// independent field elements. Used by the batch barycentric evaluator --
+// the host-side analog of the reference's rayon parallel eval
+// (/root/reference/kzg/src/eip_4844.rs:954-1003 under cfg_iter!), with SIMD
+// lanes in place of cores.
+// ---------------------------------------------------------------------------
+#if defined(__AVX512IFMA__) && defined(__AVX512F__)
+#define KZGN_IFMA 1
+#include <immintrin.h>
+
+namespace ifma {
+
+constexpr int K = 5;                       // 5 x 52 = 260 bits
+constexpr uint64_t MASK52 = (1ULL << 52) - 1;
+
+struct Fr8 {
+    __m512i l[K];
+};
+
+// modulus r in 52-bit limbs, n' = -r^{-1} mod 2^52, and 2^520 mod r
+// (the to-Montgomery factor), all derived at first use from R_LIMBS.
+struct Consts {
+    uint64_t n52[K];
+    uint64_t np52;
+    Fr r52sq_mont;                          // scalar-form (4x64) 2^520 mod r
+    __m512i vN[K], vNp, vZero;
+};
+
+static const Consts &consts() {
+    static Consts c = [] {
+        Consts cc{};
+        // 52-bit limbs of r from the 64-bit limbs
+        unsigned __int128 acc = 0;
+        int bits = 0, k = 0;
+        for (int i = 0; i < 4; i++) {
+            acc |= (unsigned __int128)R_LIMBS[i] << bits;
+            bits += 64;
+            while (bits >= 52 && k < K) {
+                cc.n52[k++] = (uint64_t)(acc & MASK52);
+                acc >>= 52;
+                bits -= 52;
+            }
+        }
+        while (k < K) {
+            cc.n52[k++] = (uint64_t)(acc & MASK52);
+            acc >>= 52;
+        }
+        // np52 = -r^{-1} mod 2^52 (Newton iteration on 64-bit then mask)
+        uint64_t n0 = cc.n52[0];
+        uint64_t inv = n0;                  // n0 odd
+        for (int i = 0; i < 6; i++) inv *= 2 - n0 * inv;
+        cc.np52 = (0 - inv) & MASK52;
+        // 2^520 mod r via repeated doubling on 4x64 raw limbs
+        uint64_t v[4] = {1, 0, 0, 0};
+        for (int i = 0; i < 520; i++) {
+            uint64_t carry = 0;
+            for (int j = 0; j < 4; j++) {
+                uint64_t nv = (v[j] << 1) | carry;
+                carry = v[j] >> 63;
+                v[j] = nv;
+            }
+            if (carry || geq(v, R_LIMBS, 4)) sub_limbs(v, v, R_LIMBS, 4);
+        }
+        memcpy(cc.r52sq_mont.l, v, 32);
+        for (int j = 0; j < K; j++) cc.vN[j] = _mm512_set1_epi64((long long)cc.n52[j]);
+        cc.vNp = _mm512_set1_epi64((long long)cc.np52);
+        cc.vZero = _mm512_setzero_si512();
+        return cc;
+    }();
+    return c;
+}
+
+// c = a * b * 2^-260 mod r, lanes independent. Inputs: limbs < 2^52 with
+// values < r (strict); output fully reduced < r.
+static inline void mul(Fr8 &c, const Fr8 &a, const Fr8 &b) {
+    const Consts &C = consts();
+    __m512i t[K + 1];
+    for (int j = 0; j <= K; j++) t[j] = C.vZero;
+    for (int i = 0; i < K; i++) {
+        const __m512i ai = a.l[i];
+        // t += ai * b
+        t[0] = _mm512_madd52lo_epu64(t[0], ai, b.l[0]);
+        t[1] = _mm512_madd52lo_epu64(t[1], ai, b.l[1]);
+        t[2] = _mm512_madd52lo_epu64(t[2], ai, b.l[2]);
+        t[3] = _mm512_madd52lo_epu64(t[3], ai, b.l[3]);
+        t[4] = _mm512_madd52lo_epu64(t[4], ai, b.l[4]);
+        t[1] = _mm512_madd52hi_epu64(t[1], ai, b.l[0]);
+        t[2] = _mm512_madd52hi_epu64(t[2], ai, b.l[1]);
+        t[3] = _mm512_madd52hi_epu64(t[3], ai, b.l[2]);
+        t[4] = _mm512_madd52hi_epu64(t[4], ai, b.l[3]);
+        t[5] = _mm512_madd52hi_epu64(t[5], ai, b.l[4]);
+        // m = low52(t0 * np)  (vpmadd52 reads only low 52 bits of sources)
+        __m512i m = _mm512_madd52lo_epu64(C.vZero, t[0], C.vNp);
+        // t += m * N; then t0 is 0 mod 2^52 -> shift down one limb
+        t[0] = _mm512_madd52lo_epu64(t[0], m, C.vN[0]);
+        t[1] = _mm512_madd52lo_epu64(t[1], m, C.vN[1]);
+        t[2] = _mm512_madd52lo_epu64(t[2], m, C.vN[2]);
+        t[3] = _mm512_madd52lo_epu64(t[3], m, C.vN[3]);
+        t[4] = _mm512_madd52lo_epu64(t[4], m, C.vN[4]);
+        t[1] = _mm512_madd52hi_epu64(t[1], m, C.vN[0]);
+        t[2] = _mm512_madd52hi_epu64(t[2], m, C.vN[1]);
+        t[3] = _mm512_madd52hi_epu64(t[3], m, C.vN[2]);
+        t[4] = _mm512_madd52hi_epu64(t[4], m, C.vN[3]);
+        t[5] = _mm512_madd52hi_epu64(t[5], m, C.vN[4]);
+        __m512i carry = _mm512_srli_epi64(t[0], 52);
+        t[0] = _mm512_add_epi64(t[1], carry);
+        t[1] = t[2];
+        t[2] = t[3];
+        t[3] = t[4];
+        t[4] = t[5];
+        t[5] = C.vZero;
+    }
+    // propagate carries to strict 52-bit limbs
+    __m512i mask = _mm512_set1_epi64((long long)MASK52);
+    __m512i cr = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i v = _mm512_add_epi64(t[j], cr);
+        c.l[j] = _mm512_and_si512(v, mask);
+        cr = _mm512_srli_epi64(v, 52);
+    }
+    // conditional subtract r (result < 2r guaranteed: R52 = 2^260 > 4r)
+    __m512i d[K];
+    __m512i borrow = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i sub = _mm512_add_epi64(C.vN[j], borrow);
+        __m512i diff = _mm512_sub_epi64(c.l[j], sub);
+        borrow = _mm512_srli_epi64(diff, 63);       // 1 if c.l[j] < sub
+        d[j] = _mm512_and_si512(diff, mask);
+    }
+    // lanes where borrow-out == 0 take the subtracted value
+    __mmask8 ge = _mm512_cmpeq_epu64_mask(borrow, C.vZero);
+    for (int j = 0; j < K; j++)
+        c.l[j] = _mm512_mask_blend_epi64(ge, c.l[j], d[j]);
+}
+
+static inline void add(Fr8 &c, const Fr8 &a, const Fr8 &b) {
+    const Consts &C = consts();
+    __m512i mask = _mm512_set1_epi64((long long)MASK52);
+    __m512i cr = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i v = _mm512_add_epi64(_mm512_add_epi64(a.l[j], b.l[j]), cr);
+        c.l[j] = _mm512_and_si512(v, mask);
+        cr = _mm512_srli_epi64(v, 52);
+    }
+    __m512i d[K];
+    __m512i borrow = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i sub = _mm512_add_epi64(C.vN[j], borrow);
+        __m512i diff = _mm512_sub_epi64(c.l[j], sub);
+        borrow = _mm512_srli_epi64(diff, 63);
+        d[j] = _mm512_and_si512(diff, mask);
+    }
+    __mmask8 ge = _mm512_cmpeq_epu64_mask(borrow, C.vZero);
+    for (int j = 0; j < K; j++)
+        c.l[j] = _mm512_mask_blend_epi64(ge, c.l[j], d[j]);
+}
+
+static inline void sub(Fr8 &c, const Fr8 &a, const Fr8 &b) {
+    const Consts &C = consts();
+    __m512i mask = _mm512_set1_epi64((long long)MASK52);
+    // a - b; lanes that borrow add r back
+    __m512i d[K];
+    __m512i borrow = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i sb = _mm512_add_epi64(b.l[j], borrow);
+        __m512i diff = _mm512_sub_epi64(a.l[j], sb);
+        borrow = _mm512_srli_epi64(diff, 63);
+        d[j] = _mm512_and_si512(diff, mask);
+    }
+    __mmask8 lt = _mm512_cmpneq_epu64_mask(borrow, C.vZero);
+    __m512i cr = C.vZero;
+    for (int j = 0; j < K; j++) {
+        __m512i addv = _mm512_maskz_mov_epi64(lt, C.vN[j]);
+        __m512i v = _mm512_add_epi64(_mm512_add_epi64(d[j], addv), cr);
+        c.l[j] = _mm512_and_si512(v, mask);
+        cr = _mm512_srli_epi64(v, 52);
+    }
+}
+
+// scalar 4x64 (value < r) -> one lane's 5x52 limbs
+static inline void to52(uint64_t out[K], const uint64_t v[4]) {
+    unsigned __int128 acc = 0;
+    int bits = 0, k = 0, i = 0;
+    while (k < K) {
+        if (bits < 52 && i < 4) {
+            acc |= (unsigned __int128)v[i++] << bits;
+            bits += 64;
+        }
+        out[k++] = (uint64_t)(acc & MASK52);
+        acc >>= 52;
+        bits -= 52;
+        if (bits < 0) bits = 0;
+    }
+}
+
+static inline void from52(uint64_t out[4], const uint64_t in[K]) {
+    unsigned __int128 acc = 0;
+    int bits = 0, k = 0;
+    for (int i = 0; i < 4; i++) {
+        while (bits < 64 && k < K) {
+            acc |= (unsigned __int128)in[k++] << bits;
+            bits += 52;
+        }
+        out[i] = (uint64_t)acc;
+        acc >>= 64;
+        bits -= 64;
+    }
+}
+
+// gather 8 scalar elements (4x64 raw each) into vertical Fr8
+static inline void pack(Fr8 &o, const uint64_t (*vals)[4]) {
+    alignas(64) uint64_t tmp[K][8];
+    for (int lane = 0; lane < 8; lane++) {
+        uint64_t l52[K];
+        to52(l52, vals[lane]);
+        for (int j = 0; j < K; j++) tmp[j][lane] = l52[j];
+    }
+    for (int j = 0; j < K; j++)
+        o.l[j] = _mm512_load_si512((const void *)tmp[j]);
+}
+
+static inline void unpack(uint64_t (*vals)[4], const Fr8 &o) {
+    alignas(64) uint64_t tmp[K][8];
+    for (int j = 0; j < K; j++)
+        _mm512_store_si512((void *)tmp[j], o.l[j]);
+    for (int lane = 0; lane < 8; lane++) {
+        uint64_t l52[K];
+        for (int j = 0; j < K; j++) l52[j] = tmp[j][lane];
+        from52(vals[lane], l52);
+    }
+}
+
+static inline Fr8 splat_mont_one() {
+    // Montgomery(1) in R52 domain = 2^260 mod r = to-mont of 1:
+    // mul(one_raw, r52sq) later; cheaper: compute 2^260 mod r scalar.
+    const Consts &C = consts();
+    (void)C;
+    uint64_t v[4] = {1, 0, 0, 0};
+    for (int i = 0; i < 260; i++) {
+        uint64_t carry = 0;
+        for (int j = 0; j < 4; j++) {
+            uint64_t nv = (v[j] << 1) | carry;
+            carry = v[j] >> 63;
+            v[j] = nv;
+        }
+        if (carry || geq(v, R_LIMBS, 4)) sub_limbs(v, v, R_LIMBS, 4);
+    }
+    uint64_t l52[K];
+    to52(l52, v);
+    Fr8 o;
+    for (int j = 0; j < K; j++) o.l[j] = _mm512_set1_epi64((long long)l52[j]);
+    return o;
+}
+
+// c = a^(r-2) * adjust -- NOT needed lane-generic; pow with shared exponent
+static inline void inv(Fr8 &c, const Fr8 &a) {
+    // exponent r-2, MSB-first square-and-multiply, shared across lanes
+    uint64_t e[4];
+    memcpy(e, FR_R_MINUS_2, 32);
+    Fr8 acc = splat_mont_one();
+    int top = 255;
+    while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+        mul(acc, acc, acc);
+        if ((e[i / 64] >> (i % 64)) & 1) mul(acc, acc, a);
+    }
+    c = acc;
+}
+
+}  // namespace ifma
+#endif  // KZGN_IFMA
+
 // raw (non-Montgomery) canonical parse: fr_from_be minus the to-Montgomery
 // multiply. fr_mul(mont(a), raw(b)) = a*b raw -- the barycentric weights
 // stay Montgomery and the blob values stay raw, so each element costs one
@@ -1843,6 +2117,236 @@ static bool fr_raw_from_be(Fr &r, const uint8_t *be) {
     return true;
 }
 
+// IFMA differential-test hooks (exercised by tests/test_native.py)
+extern "C" int kzgn_ifma_available() {
+#ifdef KZGN_IFMA
+    return 1;
+#else
+    return 0;
+#endif
+}
+
+// out = a * b mod r for n8*8 pairs of canonical raw BE values -- routed
+// through pack -> to-Montgomery(R52) -> ifma::mul -> unpack so every piece
+// of the 8-lane pipeline is covered differentially against fr_mul.
+extern "C" int kzgn_ifma_mul_test(const uint8_t *a_be, const uint8_t *b_be,
+                                  size_t n8, uint8_t *out_be) {
+#ifdef KZGN_IFMA
+    const ifma::Consts &C = ifma::consts();
+    uint64_t r52sq_52[ifma::K];
+    ifma::to52(r52sq_52, C.r52sq_mont.l);
+    ifma::Fr8 vr52sq;
+    for (int j = 0; j < ifma::K; j++)
+        vr52sq.l[j] = _mm512_set1_epi64((long long)r52sq_52[j]);
+    for (size_t g = 0; g < n8; g++) {
+        uint64_t av[8][4], bv[8][4], ov[8][4];
+        for (int lane = 0; lane < 8; lane++) {
+            for (int i = 0; i < 4; i++) {
+                uint64_t x = 0, y = 0;
+                for (int j = 0; j < 8; j++) {
+                    x = (x << 8) | a_be[(g * 8 + lane) * 32 + (3 - i) * 8 + j];
+                    y = (y << 8) | b_be[(g * 8 + lane) * 32 + (3 - i) * 8 + j];
+                }
+                av[lane][i] = x;
+                bv[lane][i] = y;
+            }
+        }
+        ifma::Fr8 a8, b8, am, r8;
+        ifma::pack(a8, av);
+        ifma::pack(b8, bv);
+        ifma::mul(am, a8, vr52sq);   // a -> Montgomery(R52)
+        ifma::mul(r8, am, b8);       // mont * raw = raw product
+        ifma::unpack(ov, r8);
+        for (int lane = 0; lane < 8; lane++)
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 8; j++)
+                    out_be[(g * 8 + lane) * 32 + (3 - i) * 8 + j] =
+                        (uint8_t)(ov[lane][i] >> (56 - 8 * j));
+    }
+    return 0;
+#else
+    (void)a_be; (void)b_be; (void)n8; (void)out_be;
+    return -1;
+#endif
+}
+
+#ifdef KZGN_IFMA
+// 8 blobs per pass, one blob per SIMD lane; returns 0 or the 1-based index
+// of the first blob with a non-canonical scalar (z errors negative), as
+// kzgn_eval_blobs_batch. roots_raw: 4096 x 4x64 canonical values.
+static long eval_blobs_ifma(const uint8_t *blobs_be, size_t n,
+                            const uint8_t *zs_be, const uint64_t (*roots_raw)[4],
+                            uint8_t *ys_out) {
+    using namespace ifma;
+    const int N = 4096;
+    const Consts &C = consts();
+    // roots -> Montgomery(R52), horizontal batches of 8
+    static thread_local std::vector<uint64_t> roots52m;  // [N][K]
+    static thread_local const void *roots_key = nullptr;
+    if (roots_key != (const void *)roots_raw || roots52m.empty()) {
+        roots52m.assign((size_t)N * K, 0);
+        uint64_t r52sq_52[K];
+        to52(r52sq_52, C.r52sq_mont.l);
+        Fr8 vr52sq;
+        for (int j = 0; j < K; j++)
+            vr52sq.l[j] = _mm512_set1_epi64((long long)r52sq_52[j]);
+        for (int i = 0; i < N; i += 8) {
+            Fr8 v, m;
+            pack(v, &roots_raw[i]);
+            mul(m, v, vr52sq);
+            alignas(64) uint64_t tmp[K][8];
+            for (int j = 0; j < K; j++)
+                _mm512_store_si512((void *)tmp[j], m.l[j]);
+            for (int lane = 0; lane < 8; lane++)
+                for (int j = 0; j < K; j++)
+                    roots52m[(size_t)(i + lane) * K + j] = tmp[j][lane];
+        }
+        roots_key = (const void *)roots_raw;
+    }
+    uint64_t r52sq_52[K];
+    to52(r52sq_52, C.r52sq_mont.l);
+    Fr8 vr52sq;
+    for (int j = 0; j < K; j++)
+        vr52sq.l[j] = _mm512_set1_epi64((long long)r52sq_52[j]);
+    Fr8 vone = splat_mont_one();
+    // 1/4096 as Montgomery(R52): raw(inv4096) then to-mont52
+    Fr inv4096_m256, one_raw;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+    memcpy(inv4096_m256.l, FR_INV4096_MONT, 32);
+    Fr inv4096_raw;
+    fr_mul(inv4096_raw, inv4096_m256, one_raw);
+    uint64_t inv4096_52[K];
+    to52(inv4096_52, inv4096_raw.l);
+    Fr8 vinvn_raw;
+    for (int j = 0; j < K; j++)
+        vinvn_raw.l[j] = _mm512_set1_epi64((long long)inv4096_52[j]);
+    Fr8 vinvn;
+    mul(vinvn, vinvn_raw, vr52sq);  // Montgomery(R52) of 1/4096
+
+    std::vector<Fr8> poly((size_t)N), diff((size_t)N), pref((size_t)N);
+    for (size_t g = 0; g * 8 < n; g++) {
+        size_t lanes = (n - g * 8 < 8) ? n - g * 8 : 8;
+        // parse + pack z
+        uint64_t zv[8][4];
+        for (size_t lane = 0; lane < 8; lane++) {
+            size_t b = g * 8 + (lane < lanes ? lane : 0);
+            uint64_t v[4];
+            for (int i = 0; i < 4; i++) {
+                uint64_t x = 0;
+                for (int j = 0; j < 8; j++)
+                    x = (x << 8) | zs_be[b * 32 + (3 - i) * 8 + j];
+                v[i] = x;
+            }
+            if (lane < lanes && geq(v, R_LIMBS, 4)) return -(long)(b + 1);
+            memcpy(zv[lane], v, 32);
+        }
+        Fr8 z_raw, z_m;
+        pack(z_raw, zv);
+        mul(z_m, z_raw, vr52sq);
+        // parse + pack poly (vertical): element i, lane = blob
+        for (int i = 0; i < N; i++) {
+            uint64_t pv[8][4];
+            for (size_t lane = 0; lane < 8; lane++) {
+                size_t b = g * 8 + (lane < lanes ? lane : 0);
+                const uint8_t *src = blobs_be + (b * (size_t)N + i) * 32;
+                uint64_t v[4];
+                for (int w = 0; w < 4; w++) {
+                    uint64_t x = 0;
+                    for (int j = 0; j < 8; j++) x = (x << 8) | src[(3 - w) * 8 + j];
+                    v[w] = x;
+                }
+                if (lane < lanes && geq(v, R_LIMBS, 4)) return (long)(b + 1);
+                memcpy(pv[lane], v, 32);
+            }
+            pack(poly[i], pv);
+        }
+        // diff = z_m - root_m; in-domain lanes -> substitute one
+        int dom_blob[8], dom_idx[8];
+        int n_dom = 0;
+        for (int lane = 0; lane < 8; lane++) dom_blob[lane] = -1;
+        for (int i = 0; i < N; i++) {
+            Fr8 rt;
+            for (int j = 0; j < K; j++)
+                rt.l[j] = _mm512_set1_epi64(
+                    (long long)roots52m[(size_t)i * K + j]);
+            sub(diff[i], z_m, rt);
+            // zero-lane detection
+            __m512i orv = diff[i].l[0];
+            for (int j = 1; j < K; j++) orv = _mm512_or_si512(orv, diff[i].l[j]);
+            __mmask8 zl = _mm512_cmpeq_epu64_mask(orv, _mm512_setzero_si512());
+            if (zl) {
+                for (int lane = 0; lane < 8; lane++)
+                    if ((zl >> lane) & 1) {
+                        dom_blob[lane] = 1;
+                        dom_idx[lane] = i;
+                        n_dom++;
+                    }
+                for (int j = 0; j < K; j++)
+                    diff[i].l[j] = _mm512_mask_blend_epi64(
+                        zl, diff[i].l[j], vone.l[j]);
+            }
+        }
+        // prefix products + one shared-exponent inversion
+        pref[0] = diff[0];
+        for (int i = 1; i < N; i++) mul(pref[i], pref[i - 1], diff[i]);
+        Fr8 acc;
+        inv(acc, pref[N - 1]);
+        // backward sweep
+        Fr8 ysum;
+        for (int j = 0; j < K; j++) ysum.l[j] = _mm512_setzero_si512();
+        for (int i = N; i-- > 0;) {
+            Fr8 invd;
+            if (i == 0)
+                invd = acc;
+            else
+                mul(invd, acc, pref[i - 1]);
+            mul(acc, acc, diff[i]);
+            Fr8 rt;
+            for (int j = 0; j < K; j++)
+                rt.l[j] = _mm512_set1_epi64(
+                    (long long)roots52m[(size_t)i * K + j]);
+            Fr8 w, term;
+            mul(w, rt, invd);          // Montgomery weight root/diff
+            mul(term, w, poly[i]);     // mont * raw = raw
+            add(ysum, ysum, term);
+        }
+        // * (z^N - 1) / N
+        Fr8 zp = z_m;
+        for (int k = 0; k < 12; k++) mul(zp, zp, zp);
+        Fr8 fac;
+        sub(fac, zp, vone);
+        Fr8 y;
+        mul(y, fac, ysum);
+        mul(y, vinvn, y);
+        uint64_t yv[8][4];
+        unpack(yv, y);
+        for (size_t lane = 0; lane < lanes; lane++) {
+            size_t b = g * 8 + lane;
+            const uint64_t *src = yv[lane];
+            uint64_t dom[4];
+            if (dom_blob[lane] >= 0) {
+                // in-domain: y = poly[idx] raw, read back from wire bytes
+                const uint8_t *p =
+                    blobs_be + (b * (size_t)N + dom_idx[lane]) * 32;
+                for (int i = 0; i < 4; i++) {
+                    uint64_t x = 0;
+                    for (int j = 0; j < 8; j++) x = (x << 8) | p[(3 - i) * 8 + j];
+                    dom[i] = x;
+                }
+                src = dom;
+            }
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 8; j++)
+                    ys_out[32 * b + (3 - i) * 8 + j] =
+                        (uint8_t)(src[i] >> (56 - 8 * j));
+        }
+        (void)n_dom;
+    }
+    return 0;
+}
+#endif  // KZGN_IFMA
+
 extern "C" long kzgn_eval_blobs_batch(const uint8_t *blobs_be, size_t n,
                                       const uint8_t *zs_be,
                                       const uint8_t *roots_mont,
@@ -1850,6 +2354,32 @@ extern "C" long kzgn_eval_blobs_batch(const uint8_t *blobs_be, size_t n,
     const int N = 4096;
     std::vector<Fr> roots(N);
     memcpy(roots.data(), roots_mont, 32 * (size_t)N);
+#ifdef KZGN_IFMA
+    {
+        // raw roots for the 8-lane path (Montgomery(2^256) -> plain value)
+        static thread_local std::vector<uint64_t> roots_raw_flat;
+        static thread_local const void *rkey = nullptr;
+        static thread_local uint64_t rkey_first[4];
+        if (rkey != (const void *)roots_mont || roots_raw_flat.empty() ||
+            memcmp(rkey_first, roots_mont, 32) != 0) {
+            memcpy(rkey_first, roots_mont, 32);
+            roots_raw_flat.assign((size_t)N * 4, 0);
+            Fr one_raw;
+            memset(&one_raw, 0, sizeof one_raw);
+            one_raw.l[0] = 1;
+            for (int i = 0; i < N; i++) {
+                Fr t;
+                fr_mul(t, roots[i], one_raw);
+                memcpy(&roots_raw_flat[(size_t)i * 4], t.l, 32);
+            }
+            rkey = (const void *)roots_mont;
+        }
+        return eval_blobs_ifma(
+            blobs_be, n, zs_be,
+            reinterpret_cast<const uint64_t(*)[4]>(roots_raw_flat.data()),
+            ys_out);
+    }
+#endif
     std::vector<Fr> poly((size_t)n * N), diff((size_t)n * N), pref(N);
     std::vector<Fr> zv(n);
     Fr invn, one = fr_one_mont();

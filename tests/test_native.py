@@ -94,6 +94,65 @@ def test_g1_mul_add():
     assert native.g1_mul(p, 0) is None
 
 
+def test_ifma_mul_differential():
+    """8-lane AVX-512 IFMA Montgomery multiplier vs Python ints: random +
+    edge products through the full pack -> mont52 -> mul -> unpack pipeline.
+    Skips on hosts without AVX512IFMA (the scalar path serves there)."""
+    import ctypes
+
+    lib = native._lib
+    if not lib.kzgn_ifma_available():
+        pytest.skip("built without AVX512IFMA")
+    n8 = 8
+    a = [rng.randrange(R) for _ in range(n8 * 8)]
+    b = [rng.randrange(R) for _ in range(n8 * 8)]
+    a[0], b[1], a[2], b[2], a[3], b[4] = 0, 0, R - 1, R - 1, 1, 1
+    out = ctypes.create_string_buffer(32 * n8 * 8)
+    rc = lib.kzgn_ifma_mul_test(
+        b"".join(x.to_bytes(32, "big") for x in a),
+        b"".join(x.to_bytes(32, "big") for x in b),
+        n8,
+        out,
+    )
+    assert rc == 0
+    for i in range(n8 * 8):
+        got = int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "big")
+        assert got == a[i] * b[i] % R, i
+
+
+def test_eval_blobs_batch_differential(oracle_settings):
+    """Native batch barycentric (IFMA 8-lane or scalar) vs the oracle
+    evaluator, covering lane padding (n=3), full groups (n=8), in-domain
+    points, and non-canonical scalar rejection."""
+    s = oracle_settings
+    rmont = 1 << 256
+    roots = s.fft.brp_roots_of_unity[:4096]
+    roots_bytes = b"".join(
+        (v * rmont % R).to_bytes(32, "little") for v in roots
+    )
+    from kzg_tpu.oracle import eip4844 as okzg
+
+    for n in (1, 3, 8):
+        blobs = [
+            b"".join(rng.randrange(R).to_bytes(32, "big") for _ in range(4096))
+            for _ in range(n)
+        ]
+        zs = [rng.randrange(R) for _ in range(n)]
+        if n >= 3:
+            zs[1] = roots[7]  # in-domain branch
+        ys = native.eval_blobs_batch(b"".join(blobs), n, zs, roots_bytes)
+        want = [
+            okzg.evaluate_polynomial_in_evaluation_form(
+                okzg.bytes_to_blob(b), z, s
+            )
+            for b, z in zip(blobs, zs)
+        ]
+        assert ys == want, n
+    bad = (R).to_bytes(32, "big") * 4096
+    with pytest.raises(ValueError):
+        native.eval_blobs_batch(bad, 1, [5], roots_bytes)
+
+
 def test_pairings_verify_bilinear():
     a = rng.randrange(1, R)
     b = rng.randrange(1, R)
