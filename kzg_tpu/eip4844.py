@@ -642,12 +642,17 @@ def verify_blob_kzg_proof(
         )
     z = compute_challenge(blob_bytes, commitment_bytes)
     # single-blob verify is latency-bound: the barycentric eval runs in the
-    # native host core (~1.5 ms) instead of a device round trip (~80 ms RTT
-    # on a remote-attached chip), and the check itself is ONE fused native
-    # call (decompress + Shamir ladder + pairing).
-    y_be = native.eval_barycentric_4096(
-        blob_bytes, z.to_bytes(32, "big"), s.roots_brp_mont_bytes
-    )
+    # native host core (8-lane IFMA split of the one blob, ~0.24 ms) instead
+    # of a device round trip (~80 ms RTT on a remote-attached chip), and the
+    # check itself is ONE fused native call (decompress + Shamir ladder +
+    # pairing).
+    try:
+        ys1 = native.eval_blobs_batch(
+            blob_bytes, 1, [z], s.roots_brp_mont_bytes
+        )
+    except ValueError:
+        raise ValueError("Invalid blob: scalar is not canonical")
+    y_be = ys1[0].to_bytes(32, "big") if ys1 is not None else None
     if y_be is not None:
         fused = native.verify_kzg_proof_fused(
             commitment_bytes, z.to_bytes(32, "big"), y_be, proof_bytes,

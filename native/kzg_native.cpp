@@ -2174,14 +2174,13 @@ extern "C" int kzgn_ifma_mul_test(const uint8_t *a_be, const uint8_t *b_be,
 // 8 blobs per pass, one blob per SIMD lane; returns 0 or the 1-based index
 // of the first blob with a non-canonical scalar (z errors negative), as
 // kzgn_eval_blobs_batch. roots_raw: 4096 x 4x64 canonical values.
-static long eval_blobs_ifma(const uint8_t *blobs_be, size_t n,
-                            const uint8_t *zs_be, const uint64_t (*roots_raw)[4],
-                            uint8_t *ys_out) {
+// roots -> Montgomery(R52) limb table, cached per roots pointer: [4096][K]
+static const std::vector<uint64_t> &roots52m_cache(
+    const uint64_t (*roots_raw)[4]) {
     using namespace ifma;
     const int N = 4096;
     const Consts &C = consts();
-    // roots -> Montgomery(R52), horizontal batches of 8
-    static thread_local std::vector<uint64_t> roots52m;  // [N][K]
+    static thread_local std::vector<uint64_t> roots52m;
     static thread_local const void *roots_key = nullptr;
     if (roots_key != (const void *)roots_raw || roots52m.empty()) {
         roots52m.assign((size_t)N * K, 0);
@@ -2203,6 +2202,16 @@ static long eval_blobs_ifma(const uint8_t *blobs_be, size_t n,
         }
         roots_key = (const void *)roots_raw;
     }
+    return roots52m;
+}
+
+static long eval_blobs_ifma(const uint8_t *blobs_be, size_t n,
+                            const uint8_t *zs_be, const uint64_t (*roots_raw)[4],
+                            uint8_t *ys_out) {
+    using namespace ifma;
+    const int N = 4096;
+    const Consts &C = consts();
+    const std::vector<uint64_t> &roots52m = roots52m_cache(roots_raw);
     uint64_t r52sq_52[K];
     to52(r52sq_52, C.r52sq_mont.l);
     Fr8 vr52sq;
@@ -2345,6 +2354,141 @@ static long eval_blobs_ifma(const uint8_t *blobs_be, size_t n,
     }
     return 0;
 }
+// ONE blob split across the 8 lanes (512 contiguous elements per lane):
+// the latency-shaped variant for single-blob verification. Same domain
+// bookkeeping as eval_blobs_ifma; the 8 per-lane partial sums are reduced
+// horizontally at the end.
+static long eval_single_ifma(const uint8_t *blob_be, const uint8_t *z_be,
+                             const uint64_t (*roots_raw)[4],
+                             const std::vector<uint64_t> &roots52m,
+                             uint8_t *y_out) {
+    using namespace ifma;
+    const int N = 4096, SEG = 512;
+    const Consts &C = consts();
+    (void)roots_raw;
+    uint64_t r52sq_52[K];
+    to52(r52sq_52, C.r52sq_mont.l);
+    Fr8 vr52sq;
+    for (int j = 0; j < K; j++)
+        vr52sq.l[j] = _mm512_set1_epi64((long long)r52sq_52[j]);
+    Fr8 vone = splat_mont_one();
+    // z (same value in every lane)
+    uint64_t zv4[4];
+    for (int i = 0; i < 4; i++) {
+        uint64_t x = 0;
+        for (int j = 0; j < 8; j++) x = (x << 8) | z_be[(3 - i) * 8 + j];
+        zv4[i] = x;
+    }
+    if (geq(zv4, R_LIMBS, 4)) return -1;
+    uint64_t zv[8][4];
+    for (int lane = 0; lane < 8; lane++) memcpy(zv[lane], zv4, 32);
+    Fr8 z_raw, z_m;
+    pack(z_raw, zv);
+    mul(z_m, z_raw, vr52sq);
+
+    static thread_local std::vector<Fr8> poly, diff, pref;
+    poly.resize(SEG);
+    diff.resize(SEG);
+    pref.resize(SEG);
+    // lane l covers elements [l*SEG, (l+1)*SEG): slot i packs element
+    // l*SEG + i of lane l
+    for (int i = 0; i < SEG; i++) {
+        uint64_t pv[8][4];
+        for (int lane = 0; lane < 8; lane++) {
+            const uint8_t *src = blob_be + ((size_t)lane * SEG + i) * 32;
+            uint64_t v[4];
+            for (int w = 0; w < 4; w++) {
+                uint64_t x = 0;
+                for (int j = 0; j < 8; j++) x = (x << 8) | src[(3 - w) * 8 + j];
+                v[w] = x;
+            }
+            if (geq(v, R_LIMBS, 4)) return 1;
+            memcpy(pv[lane], v, 32);
+        }
+        pack(poly[i], pv);
+    }
+    int dom_idx = -1;
+    for (int i = 0; i < SEG; i++) {
+        // roots for slot i: lanes l*SEG+i -- a strided gather
+        alignas(64) uint64_t tmp[K][8];
+        for (int lane = 0; lane < 8; lane++)
+            for (int j = 0; j < K; j++)
+                tmp[j][lane] = roots52m[((size_t)lane * SEG + i) * K + j];
+        Fr8 rt;
+        for (int j = 0; j < K; j++)
+            rt.l[j] = _mm512_load_si512((const void *)tmp[j]);
+        sub(diff[i], z_m, rt);
+        __m512i orv = diff[i].l[0];
+        for (int j = 1; j < K; j++) orv = _mm512_or_si512(orv, diff[i].l[j]);
+        __mmask8 zl = _mm512_cmpeq_epu64_mask(orv, _mm512_setzero_si512());
+        if (zl) {
+            for (int lane = 0; lane < 8; lane++)
+                if ((zl >> lane) & 1) dom_idx = lane * SEG + i;
+            for (int j = 0; j < K; j++)
+                diff[i].l[j] =
+                    _mm512_mask_blend_epi64(zl, diff[i].l[j], vone.l[j]);
+        }
+    }
+    if (dom_idx >= 0) {
+        memcpy(y_out, blob_be + (size_t)dom_idx * 32, 32);
+        return 0;
+    }
+    pref[0] = diff[0];
+    for (int i = 1; i < SEG; i++) mul(pref[i], pref[i - 1], diff[i]);
+    Fr8 acc;
+    inv(acc, pref[SEG - 1]);
+    Fr8 ysum;
+    for (int j = 0; j < K; j++) ysum.l[j] = _mm512_setzero_si512();
+    for (int i = SEG; i-- > 0;) {
+        Fr8 invd;
+        if (i == 0)
+            invd = acc;
+        else
+            mul(invd, acc, pref[i - 1]);
+        mul(acc, acc, diff[i]);
+        alignas(64) uint64_t tmp[K][8];
+        for (int lane = 0; lane < 8; lane++)
+            for (int j = 0; j < K; j++)
+                tmp[j][lane] = roots52m[((size_t)lane * SEG + i) * K + j];
+        Fr8 rt;
+        for (int j = 0; j < K; j++)
+            rt.l[j] = _mm512_load_si512((const void *)tmp[j]);
+        Fr8 w, term;
+        mul(w, rt, invd);
+        mul(term, w, poly[i]);
+        add(ysum, ysum, term);
+    }
+    // horizontal reduction of the 8 lane sums (raw values): unpack + scalar
+    uint64_t yv[8][4];
+    unpack(yv, ysum);
+    Fr total;
+    memset(&total, 0, sizeof total);
+    for (int lane = 0; lane < 8; lane++) {
+        Fr t;
+        memcpy(t.l, yv[lane], 32);
+        fr_add(total, total, t);
+    }
+    // * (z^N - 1) / N with scalar Fr (Montgomery 2^256 domain)
+    Fr z256, one_raw;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+    {
+        Fr zr, r2;
+        memcpy(zr.l, zv4, 32);
+        memcpy(r2.l, FR_R2, 32);
+        fr_mul(z256, zr, r2);
+    }
+    Fr zp = z256, fac, invn, one = fr_one_mont();
+    for (int k = 0; k < 12; k++) fr_mul(zp, zp, zp);
+    fr_sub(fac, zp, one);
+    memcpy(invn.l, FR_INV4096_MONT, 32);
+    fr_mul(total, fac, total);   // mont * raw = raw
+    fr_mul(total, invn, total);
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 8; j++)
+            y_out[(3 - i) * 8 + j] = (uint8_t)(total.l[i] >> (56 - 8 * j));
+    return 0;
+}
 #endif  // KZGN_IFMA
 
 extern "C" long kzgn_eval_blobs_batch(const uint8_t *blobs_be, size_t n,
@@ -2374,10 +2518,12 @@ extern "C" long kzgn_eval_blobs_batch(const uint8_t *blobs_be, size_t n,
             }
             rkey = (const void *)roots_mont;
         }
-        return eval_blobs_ifma(
-            blobs_be, n, zs_be,
-            reinterpret_cast<const uint64_t(*)[4]>(roots_raw_flat.data()),
-            ys_out);
+        const uint64_t(*rraw)[4] =
+            reinterpret_cast<const uint64_t(*)[4]>(roots_raw_flat.data());
+        if (n == 1)
+            return eval_single_ifma(blobs_be, zs_be, rraw,
+                                    roots52m_cache(rraw), ys_out);
+        return eval_blobs_ifma(blobs_be, n, zs_be, rraw, ys_out);
     }
 #endif
     std::vector<Fr> poly((size_t)n * N), diff((size_t)n * N), pref(N);
@@ -2635,6 +2781,110 @@ int kzgn_g1_in_subgroup(const uint8_t xy[96], int fast) {
 // /root/reference/kzg/src/eip_4844.rs:586-611,
 // /root/reference/blst/src/types/kzg_settings.rs:178-196; rearranged so the
 // variable scalar lands on the G1 side, as in kzg_tpu/eip4844.py)
+// acc = [za]A + [zb]G for affine A (a_inf flags) and the generator, via a
+// GLV 4-way joint ladder: each 256-bit scalar splits as k1 + k2*x^2
+// (exact integer identity, both halves < 2^128), giving four affine
+// addends {A, psi(A), G, psi(G)}; the 15 subset sums are batch-normalized
+// to affine once so the 128-bit joint ladder uses only mixed additions.
+// ~2x the plain dual Shamir ladder.
+static void jac_add_affine(Jac<Fp> &r, const Jac<Fp> &p, const Fp &qx, const Fp &qy);
+static void div256_128(const uint64_t k[4], unsigned __int128 d,
+                       unsigned __int128 &q, unsigned __int128 &rem);
+
+static void glv4_shamir(Jac<Fp> &acc_out, const Fp &ax, const Fp &ay, bool a_inf,
+                        const uint64_t za[4], const uint64_t zb[4]) {
+    const unsigned __int128 X2 =
+        (unsigned __int128)BLS_X_ABS * (unsigned __int128)BLS_X_ABS;
+    Fp beta;
+    memcpy(beta.l, BETA_G1_MONT, sizeof beta.l);
+    unsigned __int128 k[4];  // scalars for A, psiA, G, psiG
+    {
+        unsigned __int128 q, rem;
+        div256_128(za, X2, q, rem);
+        k[0] = rem;
+        k[1] = q;
+        div256_128(zb, X2, q, rem);
+        k[2] = rem;
+        k[3] = q;
+    }
+    Fp xs[4], ys4[4];
+    bool inf4[4];
+    xs[0] = ax;
+    ys4[0] = ay;
+    inf4[0] = a_inf;
+    fp_mul(xs[1], ax, beta);
+    fp_neg(ys4[1], ay);
+    inf4[1] = a_inf;
+    memcpy(xs[2].l, G1_GEN_X_MONT, sizeof xs[2].l);
+    memcpy(ys4[2].l, G1_GEN_Y_MONT, sizeof ys4[2].l);
+    inf4[2] = false;
+    fp_mul(xs[3], xs[2], beta);
+    fp_neg(ys4[3], ys4[2]);
+    inf4[3] = false;
+    // subset-sum table (Jacobian), then one batch inversion -> affine
+    Jac<Fp> tab[16];
+    tab[0] = jac_identity<Fp>();
+    for (int b = 0; b < 4; b++)
+        tab[1 << b] = inf4[b] ? jac_identity<Fp>()
+                              : jac_from_affine<Fp>(xs[b], ys4[b]);
+    for (int m = 3; m < 16; m++) {
+        if (!(m & (m - 1))) continue;  // power of two: already set
+        int lb = m & (-m);
+        jac_add(tab[m], tab[lb], tab[m - lb]);
+    }
+    Fp tax[16], tay[16];
+    bool tinf[16];
+    {
+        Fp pref[16], zs_[16];
+        int idx[16], cnt = 0;
+        for (int m = 1; m < 16; m++) {
+            tinf[m] = tab[m].inf || FieldOps<Fp>::is_zero(tab[m].z);
+            if (tinf[m]) continue;
+            zs_[cnt] = tab[m].z;
+            pref[cnt] = cnt ? Fp() : zs_[0];
+            if (cnt)
+                fp_mul(pref[cnt], pref[cnt - 1], zs_[cnt]);
+            idx[cnt] = m;
+            cnt++;
+        }
+        if (cnt) {
+            Fp inv_all;
+            fp_inv(inv_all, pref[cnt - 1]);
+            for (int t = cnt - 1; t >= 0; t--) {
+                Fp zinv;
+                if (t == 0)
+                    zinv = inv_all;
+                else
+                    fp_mul(zinv, inv_all, pref[t - 1]);
+                fp_mul(inv_all, inv_all, zs_[t]);
+                Fp zi2, zi3;
+                fp_sqr(zi2, zinv);
+                fp_mul(zi3, zi2, zinv);
+                int m = idx[t];
+                fp_mul(tax[m], tab[m].x, zi2);
+                fp_mul(tay[m], tab[m].y, zi3);
+            }
+        }
+    }
+    // joint 128-bit ladder (top bit 128 possible only from lazy carries; the
+    // GLV halves are < 2^128 so bit 127 is the top)
+    Jac<Fp> acc = jac_identity<Fp>();
+    int top = 127;
+    while (top >= 0) {
+        int m = 0;
+        for (int b = 0; b < 4; b++) m |= (int)((k[b] >> top) & 1) << b;
+        if (m) break;
+        top--;
+    }
+    for (int i = top; i >= 0; i--) {
+        jac_double(acc, acc);
+        int m = 0;
+        for (int b = 0; b < 4; b++) m |= (int)((k[b] >> i) & 1) << b;
+        if (m && !tinf[m]) jac_add_affine(acc, acc, tax[m], tay[m]);
+    }
+    acc_out = acc;
+}
+
 int kzgn_verify_kzg_proof(const uint8_t commitment[48], const uint8_t z_be[32],
                           const uint8_t y_be[32], const uint8_t proof[48],
                           const uint8_t g2s[192], int g2s_inf) {
@@ -2666,28 +2916,11 @@ int kzgn_verify_kzg_proof(const uint8_t commitment[48], const uint8_t z_be[32],
     if (rc_c < 0 || rc_p < 0) return -1;
     Jac<Fp> cj = rc_c == 1 ? jac_identity<Fp>() : jac_from_affine<Fp>(cx, cy);
     Jac<Fp> pj = rc_p == 1 ? jac_identity<Fp>() : jac_from_affine<Fp>(px, py);
-    // Shamir: [z]proof + [r-y]G in one 256-bit ladder
-    Fp gx, gy;
-    memcpy(gx.l, G1_GEN_X_MONT, sizeof gx.l);
-    memcpy(gy.l, G1_GEN_Y_MONT, sizeof gy.l);
-    Jac<Fp> gj = jac_from_affine<Fp>(gx, gy), pg;
-    jac_add(pg, pj, gj);
-    Jac<Fp> acc = jac_identity<Fp>();
-    int top = 255;
-    while (top >= 0 && !((z[top / 64] >> (top % 64)) & 1) &&
-           !((ry[top / 64] >> (top % 64)) & 1))
-        top--;
-    for (int i = top; i >= 0; i--) {
-        jac_double(acc, acc);
-        bool ba = (z[i / 64] >> (i % 64)) & 1;
-        bool bb = (ry[i / 64] >> (i % 64)) & 1;
-        if (ba && bb)
-            jac_add(acc, acc, pg);
-        else if (ba)
-            jac_add(acc, acc, pj);
-        else if (bb)
-            jac_add(acc, acc, gj);
-    }
+    // [z]proof + [r-y]G via the GLV 4-way joint ladder (half the doublings
+    // of the 256-bit dual Shamir form, all-mixed additions)
+    (void)pj;
+    Jac<Fp> acc;
+    glv4_shamir(acc, px, py, rc_p == 1, z, ry);
     jac_add(acc, acc, cj);
     Fp lx = FP_ZERO, ly = FP_ZERO;
     bool lhs_inf = !jac_to_affine(lx, ly, acc);
