@@ -10,6 +10,7 @@ line-by-line mapping); bit-exactness enforced by the consensus vectors.
 """
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -737,18 +738,10 @@ def verify_cell_kzg_proof_batch(
         len(cb) != 48 for cb in commitments_bytes
     ):
         raise ValueError("Invalid proof/commitment length")
-    proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
     unique_cb, commitment_indices = _deduplicate_with_indices(list(commitments_bytes))
-    unique_commitments = native.g1_decompress_batch(b"".join(unique_cb))
-
-    cells_limbs = []
     for cb in cells_bytes:
         if len(cb) != BYTES_PER_CELL:
             raise ValueError("Invalid cell length")
-        limbs, ok = bs.frs_from_bytes(cb)
-        if not ok.all():
-            raise ValueError("Invalid cell: scalar not canonical")
-        cells_limbs.append(limbs)
 
     # transcript over raw wire bytes: the per-scalar serialization in the
     # reference (das.rs:390-452) is byte-identical to the validated cell
@@ -756,6 +749,39 @@ def verify_cell_kzg_proof_batch(
     r = _batch_challenge_bytes(
         unique_cb, commitment_indices, cell_indices, cells_bytes, proofs_bytes
     )
+
+    # Host path: the whole tail (decompress + column IFFTs + 4 GLV MSMs +
+    # pairing) in ONE native call -- on a remote-attached chip the device
+    # kernel costs a ~800 ms round trip; the host tail is ~25 ms.
+    # KZG_TPU_HOST_7594=0 forces the device kernel.
+    if native.available() and os.environ.get("KZG_TPU_HOST_7594", "1") == "1":
+        mono_xy, mono_inf = s.g1_monomial64_host
+        ok = native.verify_cell_batch(
+            b"".join(unique_cb),
+            len(unique_cb),
+            commitment_indices,
+            list(cell_indices),
+            b"".join(cells_bytes),
+            b"".join(proofs_bytes),
+            cell_count,
+            r,
+            s.roots_ext_mont_bytes,
+            mono_xy,
+            mono_inf,
+            s.oracle.g2_monomial[CELL],
+        )
+        if ok is not None:
+            return ok
+
+    proofs = native.g1_decompress_batch(b"".join(proofs_bytes))
+    unique_commitments = native.g1_decompress_batch(b"".join(unique_cb))
+
+    cells_limbs = []
+    for cb in cells_bytes:
+        limbs, ok = bs.frs_from_bytes(cb)
+        if not ok.all():
+            raise ValueError("Invalid cell: scalar not canonical")
+        cells_limbs.append(limbs)
     r_powers = compute_powers(r, cell_count)
     roots = s.oracle.fft.roots_of_unity
 

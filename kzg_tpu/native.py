@@ -45,6 +45,7 @@ def _load():
                 lib.kzgn_g1_in_subgroup.restype = ctypes.c_int
                 lib.kzgn_verify_blob_batch_tail.restype = ctypes.c_int
                 lib.kzgn_eval_blobs_batch.restype = ctypes.c_long
+                lib.kzgn_verify_cell_batch.restype = ctypes.c_int
                 return lib
             except OSError:
                 continue
@@ -242,6 +243,53 @@ def verify_blob_batch_tail(
     if rc <= -100:
         raise ValueError(f"g1: invalid point at index {-100 - rc}")
     raise ValueError("verify_blob_batch_tail: malformed input")
+
+
+def verify_cell_batch(
+    unique_commitments_comp: bytes,
+    nu: int,
+    commitment_indices: List[int],
+    cell_indices: List[int],
+    cells_wire: bytes,
+    proofs_comp: bytes,
+    n: int,
+    r: int,
+    roots_ext_mont: bytes,
+    g1mono_xy: bytes,
+    g1mono_inf: bytes,
+    g2s64,
+) -> Optional[bool]:
+    """EIP-7594 cell-batch verification tail entirely in the native host
+    core (parity: DAS::verify_cell_kzg_proof_batch, das.rs:294-452).
+    Returns None when the native library is unavailable; raises ValueError
+    on invalid points/scalars."""
+    if _lib is None:
+        return None
+    ci = (ctypes.c_uint32 * n)(*commitment_indices)
+    xi = (ctypes.c_uint32 * n)(*cell_indices)
+    g2b, g2i = _g2_to_bytes_raw(g2s64)
+    rc = _lib.kzgn_verify_cell_batch(
+        unique_commitments_comp,
+        ctypes.c_size_t(nu),
+        ci,
+        xi,
+        cells_wire,
+        proofs_comp,
+        ctypes.c_size_t(n),
+        r.to_bytes(32, "big"),
+        roots_ext_mont,
+        g1mono_xy,
+        g1mono_inf,
+        g2b,
+        g2i,
+    )
+    if rc >= 0:
+        return rc == 1
+    if rc == -2:
+        raise ValueError("Invalid cell: scalar not canonical")
+    if rc == -3:
+        raise ValueError("Invalid cell index")
+    raise ValueError("g1: invalid point")
 
 
 def g1_in_subgroup(pt: Affine, fast: bool = True) -> bool:

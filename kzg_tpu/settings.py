@@ -108,6 +108,33 @@ class DeviceKZGSettings:
             for v in self.oracle.fft.brp_roots_of_unity[:FIELD_ELEMENTS_PER_BLOB]
         )
 
+    @cached_property
+    def roots_ext_mont_bytes(self) -> bytes:
+        """All 8193 roots of unity (8192-wide FFTSettings incl. the wrap
+        element) as raw little-endian Montgomery limbs -- the table the
+        native EIP-7594 host tail indexes (coset shifts, h_k powers, the
+        64-point column IFFT twiddles)."""
+        rmont = 1 << 256
+        return b"".join(
+            (v * rmont % R).to_bytes(32, "little")
+            for v in self.oracle.fft.roots_of_unity
+        )
+
+    @cached_property
+    def g1_monomial64_host(self) -> tuple:
+        """First 64 monomial setup points as (affine-BE bytes, inf flags)
+        for the native interpolation-poly commitment MSM."""
+        xy = bytearray()
+        inf = bytearray()
+        for p in self.oracle.g1_monomial[:64]:
+            if p is None:
+                xy += bytes(96)
+                inf.append(1)
+            else:
+                xy += p[0].to_bytes(48, "big") + p[1].to_bytes(48, "big")
+                inf.append(0)
+        return bytes(xy), bytes(inf)
+
     @property
     def n(self) -> int:
         return FIELD_ELEMENTS_PER_BLOB

@@ -3190,7 +3190,11 @@ static void msm_host(const HostAff *in_pts, const uint64_t (*in_sc)[4],
         unsigned __int128 k = ks[i];
         uint32_t carry = 0;
         for (int ww = 0; ww < windows; ww++) {
-            uint32_t d = (uint32_t)((k >> (ww * c)) & mask) + carry;
+            // guard: ww*c can reach 128 in the top window (shift of an
+            // __int128 by >= 128 is UB; the top digit is then carry-only)
+            uint32_t bits =
+                ww * c < 128 ? (uint32_t)((k >> (ww * c)) & mask) : 0u;
+            uint32_t d = bits + carry;
             carry = 0;
             int16_t sd = (int16_t)d;
             if (d > nbuckets) {            // d > 2^(c-1): use d - 2^c, carry 1
@@ -3274,6 +3278,225 @@ int kzgn_g1_msm(const uint8_t *xy, const uint8_t *inf, size_t n,
     fp_to_be(out_xy, rx);
     fp_to_be(out_xy + 48, ry);
     return 0;
+}
+
+// Fused EIP-7594 cell-batch verification tail, entirely on the host
+// (parity: DAS::verify_cell_kzg_proof_batch, /root/reference/kzg/src/
+// das.rs:294-452 and its helpers :698-906). The device kernel remains the
+// multi-chip path; on a remote-attached chip this host form replaces a
+// ~800 ms device round trip with ~25 ms of scalar work + 4 GLV MSMs.
+//   roots_mont: 8193 x 32B little-endian Montgomery Fr (roots_of_unity of
+//   the 8192-wide FFTSettings, wrap element included);
+//   g1mono_xy/inf: first 64 monomial setup points, affine BE;
+//   g2s64: [s^64]_2 affine BE. Returns 1/0, or negative on bad input
+//   (-1 points, -2 scalars).
+extern "C" int kzgn_verify_cell_batch(
+    const uint8_t *u_comms_comp, size_t nu, const uint32_t *comm_idx,
+    const uint32_t *cell_idx, const uint8_t *cells_be,
+    const uint8_t *proofs_comp, size_t n, const uint8_t r_be[32],
+    const uint8_t *roots_mont, const uint8_t *g1mono_xy,
+    const uint8_t *g1mono_inf, const uint8_t g2s64[192], int g2s64_inf) {
+    const int CELL = 64, K2 = 128, FE_EXT = 8192;
+    if (!n) return 1;
+    struct Pt { Fp x, y; bool inf; };
+    std::vector<Pt> comms(nu), proofs(n);
+    for (size_t i = 0; i < nu; i++) {
+        int rc = g1_decompress(u_comms_comp + 48 * i, comms[i].x, comms[i].y, true);
+        if (rc < 0) return -1;
+        comms[i].inf = rc == 1;
+    }
+    for (size_t i = 0; i < n; i++) {
+        int rc = g1_decompress(proofs_comp + 48 * i, proofs[i].x, proofs[i].y, true);
+        if (rc < 0) return -1;
+        proofs[i].inf = rc == 1;
+    }
+    const Fr *roots = reinterpret_cast<const Fr *>(roots_mont);
+    Fr r;
+    if (!fr_from_be(r, r_be)) return -2;
+    std::vector<Fr> rpow(n);                     // Montgomery r^i
+    rpow[0] = fr_one_mont();
+    for (size_t i = 1; i < n; i++) fr_mul(rpow[i], rpow[i - 1], r);
+    Fr one_raw;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+
+    // rbl(cell index) for 128 cells: 7-bit reversal
+    auto rbl128 = [](uint32_t v) {
+        uint32_t o = 0;
+        for (int b = 0; b < 7; b++) o |= ((v >> b) & 1) << (6 - b);
+        return o;
+    };
+
+    struct Sc { uint64_t w[4]; };
+    // (1) proof lincomb with r_powers; (4) weighted proofs with r_i * h_k^64
+    std::vector<HostAff> pl_pts, wp_pts;
+    std::vector<Sc> pl_sc(n), wp_sc(n);
+    pl_pts.reserve(n); wp_pts.reserve(n);
+    size_t npl = 0, nwp = 0;
+    for (size_t i = 0; i < n; i++) {
+        if (cell_idx[i] >= (uint32_t)K2) return -3;
+        if (proofs[i].inf) continue;
+        Fr can;
+        fr_mul(can, rpow[i], one_raw);
+        pl_pts.push_back({proofs[i].x, proofs[i].y});
+        memcpy(pl_sc[npl].w, can.l, 32);
+        npl++;
+        Fr hpow = roots[(size_t)rbl128(cell_idx[i]) * CELL];
+        Fr w, wc;
+        fr_mul(w, rpow[i], hpow);
+        fr_mul(wc, w, one_raw);
+        wp_pts.push_back({proofs[i].x, proofs[i].y});
+        memcpy(wp_sc[nwp].w, wc.l, 32);
+        nwp++;
+    }
+    // (2) weighted sum of commitments
+    std::vector<Fr> cw(nu);
+    for (size_t c = 0; c < nu; c++) memset(&cw[c], 0, sizeof(Fr));
+    for (size_t i = 0; i < n; i++) {
+        if (comm_idx[i] >= nu) return -3;
+        fr_add(cw[comm_idx[i]], cw[comm_idx[i]], rpow[i]);
+    }
+    std::vector<HostAff> wc_pts;
+    std::vector<Sc> wc_sc(nu);
+    size_t nwc = 0;
+    for (size_t c = 0; c < nu; c++) {
+        if (comms[c].inf) continue;
+        Fr can;
+        fr_mul(can, cw[c], one_raw);
+        if (!(can.l[0] | can.l[1] | can.l[2] | can.l[3])) continue;
+        wc_pts.push_back({comms[c].x, comms[c].y});
+        memcpy(wc_sc[nwc].w, can.l, 32);
+        nwc++;
+    }
+    // (3) aggregated interpolation polynomial commitment
+    // cells raw-parsed; scaled = r_pow(mont) * cell(raw) = raw
+    std::vector<Fr> agg((size_t)K2 * CELL);
+    for (auto &f : agg) memset(&f, 0, sizeof(Fr));
+    std::vector<uint8_t> used(K2, 0);
+    for (size_t i = 0; i < n; i++) {
+        used[cell_idx[i]] = 1;
+        for (int k = 0; k < CELL; k++) {
+            Fr v, sc;
+            if (!fr_raw_from_be(v, cells_be + (i * CELL + k) * 32)) return -2;
+            fr_mul(sc, rpow[i], v);  // raw
+            Fr &slot = agg[(size_t)cell_idx[i] * CELL + k];
+            fr_add(slot, slot, sc);
+        }
+    }
+    // inverse FFT over each used column (values raw, twiddles Montgomery)
+    // roots of order 64 live at stride FE_EXT/CELL in the 8192 table;
+    // INVERSE roots by reflected index.
+    Fr inv64;
+    {
+        Fr c64, r2;
+        memset(&c64, 0, sizeof c64);
+        c64.l[0] = 64;
+        memcpy(r2.l, FR_R2, 32);
+        fr_mul(c64, c64, r2);  // Montgomery(64)
+        fr_inv(inv64, c64);    // Montgomery(1/64)
+    }
+    std::vector<Fr> poly_agg(CELL);
+    for (auto &f : poly_agg) memset(&f, 0, sizeof(Fr));
+    std::vector<Fr> col(CELL), tmp(CELL);
+    for (int cidx = 0; cidx < K2; cidx++) {
+        if (!used[cidx]) continue;
+        // The reference reverse_bit_orders the column then runs its inverse
+        // FFT on natural-order evaluations; an iterative DIT consumes
+        // BIT-REVERSED input, so the brp-ordered cell values feed directly.
+        for (int k = 0; k < CELL; k++)
+            col[k] = agg[(size_t)cidx * CELL + k];
+        // iterative inverse DIT FFT, w_inv = roots[FE_EXT - stride*j]
+        for (int half = 1; half < CELL; half <<= 1) {
+            int step = FE_EXT / (2 * half);  // root stride for this level
+            for (int start = 0; start < CELL; start += 2 * half) {
+                for (int j = 0; j < half; j++) {
+                    // inverse twiddle: w^-j of order 2*half
+                    size_t idx = (size_t)(FE_EXT - step * j);
+                    const Fr &w = roots[idx == (size_t)FE_EXT ? 0 : idx];
+                    Fr lo = col[start + j];
+                    Fr hi;
+                    fr_mul(hi, w, col[start + j + half]);  // mont*raw = raw
+                    fr_add(col[start + j], lo, hi);
+                    fr_sub(col[start + j + half], lo, hi);
+                }
+            }
+        }
+        for (int k = 0; k < CELL; k++) {
+            Fr v;
+            fr_mul(v, inv64, col[k]);
+            col[k] = v;  // raw / 64
+        }
+        // shift by h_k^-1 powers: poly[k] *= inv_shift^k
+        size_t rbli = rbl128((uint32_t)cidx);
+        size_t inv_idx = (size_t)FE_EXT - rbli;
+        const Fr &inv_shift = roots[inv_idx == (size_t)FE_EXT ? 0 : inv_idx];
+        Fr pw = fr_one_mont();
+        for (int k = 0; k < CELL; k++) {
+            Fr v;
+            fr_mul(v, pw, col[k]);  // mont * raw = raw
+            fr_add(poly_agg[k], poly_agg[k], v);
+            Fr np;
+            fr_mul(np, pw, inv_shift);
+            pw = np;
+        }
+    }
+    // commit to poly_agg over the first 64 monomial points
+    std::vector<HostAff> ip_pts;
+    std::vector<Sc> ip_sc(CELL);
+    size_t nip = 0;
+    for (int k = 0; k < CELL; k++) {
+        if (g1mono_inf[k]) continue;
+        if (!(poly_agg[k].l[0] | poly_agg[k].l[1] | poly_agg[k].l[2] |
+              poly_agg[k].l[3]))
+            continue;
+        Fp x, y;
+        if (!fp_from_be(x, g1mono_xy + 96 * k) ||
+            !fp_from_be(y, g1mono_xy + 96 * k + 48))
+            return -1;
+        ip_pts.push_back({x, y});
+        memcpy(ip_sc[nip].w, poly_agg[k].l, 32);  // raw IS canonical
+        nip++;
+    }
+    Jac<Fp> pl_j, wc_j, ip_j, wp_j;
+    auto sc4 = [](const std::vector<Sc> &v) {
+        return reinterpret_cast<const uint64_t(*)[4]>(v.data());
+    };
+    msm_host(pl_pts.data(), sc4(pl_sc), npl, pl_j);
+    msm_host(wc_pts.data(), sc4(wc_sc), nwc, wc_j);
+    msm_host(ip_pts.data(), sc4(ip_sc), nip, ip_j);
+    msm_host(wp_pts.data(), sc4(wp_sc), nwp, wp_j);
+    // final = wc - ip + wp
+    Jac<Fp> fin;
+    {
+        Jac<Fp> nip_j = ip_j;
+        if (!nip_j.inf) fp_neg(nip_j.y, nip_j.y);
+        jac_add(fin, wc_j, nip_j);
+        jac_add(fin, fin, wp_j);
+    }
+    // e(final, H) == e(proof_lincomb, [s^64]_2)
+    Fp fx = FP_ZERO, fy = FP_ZERO, plx = FP_ZERO, ply = FP_ZERO;
+    bool fin_inf = !jac_to_affine(fx, fy, fin);
+    bool pl_inf = !jac_to_affine(plx, ply, pl_j);
+    Fp2 hx, hy, sx = FP2_ZERO_V, sy = FP2_ZERO_V;
+    memcpy(hx.c0.l, G2_GEN_X0_MONT, sizeof hx.c0.l);
+    memcpy(hx.c1.l, G2_GEN_X1_MONT, sizeof hx.c1.l);
+    memcpy(hy.c0.l, G2_GEN_Y0_MONT, sizeof hy.c0.l);
+    memcpy(hy.c1.l, G2_GEN_Y1_MONT, sizeof hy.c1.l);
+    if (!g2s64_inf &&
+        (!fp_from_be(sx.c0, g2s64) || !fp_from_be(sx.c1, g2s64 + 48) ||
+         !fp_from_be(sy.c0, g2s64 + 96) || !fp_from_be(sy.c1, g2s64 + 144)))
+        return -1;
+    Fp nfy;
+    fp_neg(nfy, fy);
+    bool skip_f = fin_inf;
+    bool skip_p = pl_inf || g2s64_inf != 0;
+    static thread_local PreparedG2 pf_buf, pp_buf;
+    if (!skip_f) prep_fetch(hx, hy, pf_buf);
+    if (!skip_p) prep_fetch(sx, sy, pp_buf);
+    Fp12 f = miller_loop_dual_prepared(fx, nfy, skip_f, skip_f ? nullptr : &pf_buf,
+                                       plx, ply, skip_p, skip_p ? nullptr : &pp_buf);
+    Fp12 e = final_exponentiation(f);
+    return fp12_is_one(e) ? 1 : 0;
 }
 
 // Fused batch-verification host tail: decompress commitments + proofs (fast

@@ -173,6 +173,23 @@ def test_pairings_verify_vs_oracle_random():
         assert native.pairings_verify(a1, a2, b1, b2) == oracle_pv(a1, a2, b1, b2)
 
 
+def test_g1_msm_size_sweep():
+    """Every point count 1..20 vs the oracle MSM. Regression for the c=4
+    window family (n=8..17): the top signed-digit window shifted an
+    __int128 by exactly 128 bits -- UB that produced wrong sums for those
+    sizes only."""
+    for n in range(1, 21):
+        pts = [G1.mul_scalar(G1_GENERATOR, rng.randrange(1, R)) for _ in range(n)]
+        scs = [rng.randrange(R) for _ in range(n)]
+        assert native.g1_msm(pts, scs) == oracle_msm_ref(pts, scs), n
+
+
+def oracle_msm_ref(pts, scs):
+    from kzg_tpu.oracle.msm import msm
+
+    return msm(pts, scs)
+
+
 def test_prepared_g2_cache_interleave():
     """Cycle >4 distinct G2 points through the 4-entry prepared-line cache
     in hit/miss interleavings. Regression for the round-robin eviction bug:
