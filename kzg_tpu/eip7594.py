@@ -415,6 +415,34 @@ def compute_cells_and_kzg_proofs_batch(
                 f"Invalid blob: Invalid byte length. Expected {N * 32} "
                 f"got {len(b)}"
             )
+    # Host FK20 path (remote-attached chips; KZG_TPU_HOST_7594=0 forces the
+    # device kernel): ~450 ms/blob vs a ~900 ms device round trip.
+    if (
+        native.available()
+        and os.environ.get("KZG_TPU_HOST_7594", "1") == "1"
+        and s.ensure_native_fk20()
+    ):
+        all_cells, all_proofs = [], []
+        done = True
+        for b in blobs:
+            out = native.compute_cells(b, 1 if with_proofs else 0)
+            if out is None:
+                done = False
+                break
+            cells_raw, proofs_raw = out
+            all_cells.append(
+                [
+                    cells_raw[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL]
+                    for i in range(K2)
+                ]
+            )
+            if with_proofs:
+                all_proofs.append(
+                    [proofs_raw[i * 48 : (i + 1) * 48] for i in range(K2)]
+                )
+        if done:
+            return all_cells, all_proofs
+
     words = jnp.asarray(
         np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), N, 8)
     )
@@ -487,6 +515,22 @@ def recover_cells_and_kzg_proofs(
         if not ok.all():
             raise ValueError("Invalid cell: scalar not canonical")
         cell_limbs[:, idx * CELL : (idx + 1) * CELL] = limbs
+
+    # Host recovery path (see compute_cells_and_kzg_proofs_batch)
+    if (
+        native.available()
+        and os.environ.get("KZG_TPU_HOST_7594", "1") == "1"
+        and s.ensure_native_fk20()
+    ):
+        out = native.recover_cells(list(cell_indices), b"".join(cells_bytes), True)
+        if out is not None:
+            rec, proofs_raw = out
+            out_cells = [
+                rec[i * BYTES_PER_CELL : (i + 1) * BYTES_PER_CELL]
+                for i in range(K2)
+            ]
+            out_proofs = [proofs_raw[i * 48 : (i + 1) * 48] for i in range(K2)]
+            return out_cells, out_proofs
 
     t = _column_tables(s)
     if len(provided) == K2:

@@ -46,6 +46,9 @@ def _load():
                 lib.kzgn_verify_blob_batch_tail.restype = ctypes.c_int
                 lib.kzgn_eval_blobs_batch.restype = ctypes.c_long
                 lib.kzgn_verify_cell_batch.restype = ctypes.c_int
+                lib.kzgn_fk20_init.restype = ctypes.c_int
+                lib.kzgn_compute_cells.restype = ctypes.c_long
+                lib.kzgn_recover_cells.restype = ctypes.c_long
                 return lib
             except OSError:
                 continue
@@ -290,6 +293,59 @@ def verify_cell_batch(
     if rc == -3:
         raise ValueError("Invalid cell index")
     raise ValueError("g1: invalid point")
+
+
+_fk20_ready = False
+
+
+def fk20_init(xext_xy: bytes, xext_inf: bytes, roots_ext_mont: bytes) -> bool:
+    """One-time registration of the FK20 context (x_ext_fft columns + root
+    tables) with the native host engine. Returns False if unavailable."""
+    global _fk20_ready
+    if _lib is None:
+        return False
+    if _fk20_ready:
+        return True
+    rc = _lib.kzgn_fk20_init(xext_xy, xext_inf, roots_ext_mont)
+    if rc != 0:
+        raise ValueError("fk20_init: invalid setup points")
+    _fk20_ready = True
+    return True
+
+
+def compute_cells(blob_bytes: bytes, with_proofs: int):
+    """Host FK20: blob -> (8192 extended scalars BE in brp cell order,
+    128 compressed proofs). with_proofs: 0 cells only, 1 both, 2 proofs
+    only. Returns None when unavailable (callers fall back to the device
+    kernel); raises ValueError on non-canonical blob scalars."""
+    if _lib is None or not _fk20_ready:
+        return None
+    cells_out = ctypes.create_string_buffer(8192 * 32)
+    proofs_out = ctypes.create_string_buffer(128 * 48)
+    rc = _lib.kzgn_compute_cells(blob_bytes, with_proofs, cells_out, proofs_out)
+    if rc > 0:
+        raise ValueError("Invalid blob: scalar is not canonical")
+    if rc != 0:
+        return None
+    return cells_out.raw, proofs_out.raw
+
+
+def recover_cells(cell_indices: List[int], cells_wire: bytes, with_proofs: bool):
+    """Host erasure recovery (+ optional FK20 proof recomputation).
+    Returns (recovered 8192 scalars BE, proofs bytes or None), or None when
+    the native engine is unavailable."""
+    if _lib is None or not _fk20_ready:
+        return None
+    n = len(cell_indices)
+    ci = (ctypes.c_uint32 * n)(*cell_indices)
+    rec = ctypes.create_string_buffer(8192 * 32)
+    proofs = ctypes.create_string_buffer(128 * 48) if with_proofs else None
+    rc = _lib.kzgn_recover_cells(ci, ctypes.c_size_t(n), cells_wire, rec, proofs)
+    if rc > 0:
+        raise ValueError("Invalid cell: scalar not canonical")
+    if rc != 0:
+        return None
+    return rec.raw, (proofs.raw if with_proofs else None)
 
 
 def g1_in_subgroup(pt: Affine, fast: bool = True) -> bool:

@@ -135,6 +135,31 @@ class DeviceKZGSettings:
                 inf.append(0)
         return bytes(xy), bytes(inf)
 
+    @cached_property
+    def x_ext_host(self) -> tuple:
+        """x_ext_fft columns flattened [col*64 + i] as (affine-BE bytes,
+        inf flags) for the native FK20 engine."""
+        xy = bytearray()
+        inf = bytearray()
+        for col in self.oracle.x_ext_fft_columns:
+            for p in col:
+                if p is None:
+                    xy += bytes(96)
+                    inf.append(1)
+                else:
+                    xy += p[0].to_bytes(48, "big") + p[1].to_bytes(48, "big")
+                    inf.append(0)
+        return bytes(xy), bytes(inf)
+
+    def ensure_native_fk20(self) -> bool:
+        """Register the FK20 context with the native engine (idempotent)."""
+        from . import native as _native
+
+        if not _native.available():
+            return False
+        xy, inf = self.x_ext_host
+        return _native.fk20_init(xy, inf, self.roots_ext_mont_bytes)
+
     @property
     def n(self) -> int:
         return FIELD_ELEMENTS_PER_BLOB

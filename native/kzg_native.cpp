@@ -3499,6 +3499,462 @@ extern "C" int kzgn_verify_cell_batch(
     return fp12_is_one(e) ? 1 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Host FK20 engine: compute_cells_and_kzg_proofs + erasure recovery
+// (parity: DAS::compute_cells_and_kzg_proofs das.rs:244-292,
+// compute_fk20_proofs :660-696, recover_cells :549-616 and helpers).
+// On a remote-attached chip the fused device kernel costs ~900 ms; the
+// host pipeline is Fr FFTs (cheap scalar loops), 128 GLV column MSMs, and
+// two GLV-windowed G1 FFTs.
+// ---------------------------------------------------------------------------
+
+static const int FK_N = 4096, FK_CELL = 64, FK_K2 = 128, FK_FE = 8192;
+
+// in-place Fr FFT, natural order in/out; values raw, twiddles Montgomery.
+// roots: the 8193-entry table of FK_FE-th roots.
+static void fr_fft_c(Fr *v, int n, bool inverse, const Fr *roots) {
+    // bit-reverse permute
+    int lg = 0;
+    while ((1 << lg) < n) lg++;
+    for (int i = 0; i < n; i++) {
+        int j = 0;
+        for (int b = 0; b < lg; b++) j |= ((i >> b) & 1) << (lg - 1 - b);
+        if (j > i) {
+            Fr t = v[i];
+            v[i] = v[j];
+            v[j] = t;
+        }
+    }
+    for (int half = 1; half < n; half <<= 1) {
+        int step = FK_FE / (2 * half);  // stride of the (2*half)-order root
+        for (int start = 0; start < n; start += 2 * half) {
+            for (int j = 0; j < half; j++) {
+                size_t idx = inverse ? (size_t)(FK_FE - step * j) : (size_t)step * j;
+                const Fr &w = roots[idx == (size_t)FK_FE ? 0 : idx];
+                Fr lo = v[start + j];
+                Fr hi;
+                fr_mul(hi, w, v[start + j + half]);  // mont * raw = raw
+                fr_add(v[start + j], lo, hi);
+                fr_sub(v[start + j + half], lo, hi);
+            }
+        }
+    }
+    if (inverse) {
+        // scale by 1/n (Montgomery constant computed on demand)
+        Fr cn, r2, invn;
+        memset(&cn, 0, sizeof cn);
+        cn.l[0] = (uint64_t)n;
+        memcpy(r2.l, FR_R2, 32);
+        fr_mul(cn, cn, r2);
+        fr_inv(invn, cn);
+        for (int i = 0; i < n; i++) {
+            Fr t;
+            fr_mul(t, invn, v[i]);
+            v[i] = t;
+        }
+    }
+}
+
+// reverse-bit-order permutation (extern-"C" region: no templates, so the
+// element size is passed explicitly)
+static void rbo_bytes_c(void *vp, int n, size_t esz) {
+    uint8_t *v = (uint8_t *)vp;
+    int lg = 0;
+    while ((1 << lg) < n) lg++;
+    uint8_t tmp[sizeof(Jac<Fp>) > 64 ? sizeof(Jac<Fp>) : 64];
+    for (int i = 0; i < n; i++) {
+        int j = 0;
+        for (int b = 0; b < lg; b++) j |= ((i >> b) & 1) << (lg - 1 - b);
+        if (j > i) {
+            memcpy(tmp, v + (size_t)i * esz, esz);
+            memcpy(v + (size_t)i * esz, v + (size_t)j * esz, esz);
+            memcpy(v + (size_t)j * esz, tmp, esz);
+        }
+    }
+}
+#define rbo_c(ptr, n) rbo_bytes_c((void *)(ptr), (n), sizeof(*(ptr)))
+
+// out = [k]B for a Jacobian B via the GLV 2-way joint ladder with a
+// 15-entry 2x2-bit window table (i*B + j*psi(B), i,j in 0..3).
+static void g1_mul_glv(Jac<Fp> &out, const Jac<Fp> &b, const uint64_t k4[4]) {
+    if (b.inf) {
+        out = jac_identity<Fp>();
+        return;
+    }
+    const unsigned __int128 X2 =
+        (unsigned __int128)BLS_X_ABS * (unsigned __int128)BLS_X_ABS;
+    unsigned __int128 k1, k2;
+    div256_128(k4, X2, k2, k1);
+    Fp beta;
+    memcpy(beta.l, BETA_G1_MONT, sizeof beta.l);
+    Jac<Fp> psi = b;
+    fp_mul(psi.x, b.x, beta);
+    fp_neg(psi.y, psi.y);
+    Jac<Fp> tab[16];
+    tab[0] = jac_identity<Fp>();
+    tab[1] = b;
+    Jac<Fp> b2, p2;
+    jac_double(b2, b);
+    jac_double(p2, psi);
+    tab[2] = b2;
+    jac_add(tab[3], b2, b);
+    tab[4] = psi;
+    tab[8] = p2;
+    jac_add(tab[12], p2, psi);
+    for (int j = 1; j < 4; j++)
+        for (int i = 1; i < 4; i++)
+            jac_add(tab[4 * j + i], tab[4 * j], tab[i]);
+    Jac<Fp> acc = jac_identity<Fp>();
+    for (int pos = 63; pos >= 0; pos--) {
+        if (!acc.inf) {
+            jac_double(acc, acc);
+            jac_double(acc, acc);
+        }
+        int d1 = (int)((k1 >> (2 * pos)) & 3);
+        int d2 = (int)((k2 >> (2 * pos)) & 3);
+        int m = d2 * 4 + d1;
+        if (m) jac_add(acc, acc, tab[m]);
+    }
+    out = acc;
+}
+
+// in-place G1 FFT over Jacobian points (natural order in/out); twiddles
+// canonical u64[4] (roots_can). Only used at n = 128.
+static void g1_fft_c(Jac<Fp> *v, int n, bool inverse,
+                     const uint64_t (*roots_can)[4]) {
+    int lg = 0;
+    while ((1 << lg) < n) lg++;
+    rbo_c(v, n);
+    for (int half = 1; half < n; half <<= 1) {
+        int step = FK_FE / (2 * half);
+        for (int start = 0; start < n; start += 2 * half) {
+            for (int j = 0; j < half; j++) {
+                size_t idx = inverse ? (size_t)(FK_FE - step * j) : (size_t)step * j;
+                if (idx == (size_t)FK_FE) idx = 0;
+                Jac<Fp> t;
+                if (idx == 0) {
+                    t = v[start + j + half];
+                } else {
+                    g1_mul_glv(t, v[start + j + half], roots_can[idx]);
+                }
+                Jac<Fp> lo = v[start + j];
+                jac_add(v[start + j], lo, t);
+                Jac<Fp> nt = t;
+                if (!nt.inf) fp_neg(nt.y, nt.y);
+                jac_add(v[start + j + half], lo, nt);
+            }
+        }
+    }
+    // NOTE: inverse scaling by 1/n is NOT applied here -- FK20 folds it
+    // into the Fr coefficients feeding the column MSMs (see caller).
+}
+
+// process-wide FK20 context (x_ext columns + root tables), set up once
+struct Fk20Ctx {
+    std::vector<HostAff> xext;     // [K2][CELL] affine
+    std::vector<uint8_t> xext_inf;
+    std::vector<Fr> roots_mont;        // 8193 Montgomery
+    std::vector<uint64_t> roots_can;   // 8193 x 4 canonical
+    bool ready = false;
+};
+static Fk20Ctx g_fk20;
+
+extern "C" int kzgn_fk20_init(const uint8_t *xext_xy, const uint8_t *xext_inf,
+                              const uint8_t *roots_mont_bytes) {
+    Fk20Ctx &c = g_fk20;
+    c.xext.resize((size_t)FK_K2 * FK_CELL);
+    c.xext_inf.assign(xext_inf, xext_inf + (size_t)FK_K2 * FK_CELL);
+    for (size_t i = 0; i < (size_t)FK_K2 * FK_CELL; i++) {
+        if (c.xext_inf[i]) continue;
+        if (!fp_from_be(c.xext[i].x, xext_xy + 96 * i) ||
+            !fp_from_be(c.xext[i].y, xext_xy + 96 * i + 48))
+            return -1;
+    }
+    c.roots_mont.resize(FK_FE + 1);
+    memcpy(c.roots_mont.data(), roots_mont_bytes, 32 * (size_t)(FK_FE + 1));
+    c.roots_can.resize((size_t)(FK_FE + 1) * 4);
+    Fr one_raw;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.l[0] = 1;
+    for (size_t i = 0; i <= (size_t)FK_FE; i++) {
+        Fr t;
+        fr_mul(t, c.roots_mont[i], one_raw);
+        memcpy(&c.roots_can[i * 4], t.l, 32);
+    }
+    c.ready = true;
+    return 0;
+}
+
+// FK20 proofs for a monomial polynomial (first FK_N coeffs used), raw
+// values. proofs_out: FK_K2 Jacobian points in brp order NOT applied
+// (caller reverse_bit_orders).
+static void fk20_proofs_c(const Fr *poly_mono, Jac<Fp> *proofs_out) {
+    const Fk20Ctx &C = g_fk20;
+    // toeplitz coeff FFTs: coeffs[j][i], i < CELL
+    static thread_local std::vector<Fr> coeffs;  // [K2][CELL]
+    coeffs.assign((size_t)FK_K2 * FK_CELL, Fr());
+    Fr tc[FK_K2];
+    const int r = FK_N / FK_CELL;  // 64
+    for (int i = 0; i < FK_CELL; i++) {
+        memset(tc, 0, sizeof tc);
+        const int d = FK_N - 1;
+        tc[0] = poly_mono[d - i];
+        for (int j = 1; j < r - 1; j++)
+            tc[2 * r - j] = poly_mono[d - i - j * FK_CELL];
+        fr_fft_c(tc, FK_K2, false, C.roots_mont.data());
+        for (int j = 0; j < FK_K2; j++) coeffs[(size_t)j * FK_CELL + i] = tc[j];
+    }
+    // fold the G1-IFFT 1/128 scale into the Fr scalars (linearity)
+    Fr inv128;
+    {
+        Fr cn, r2;
+        memset(&cn, 0, sizeof cn);
+        cn.l[0] = 128;
+        memcpy(r2.l, FR_R2, 32);
+        fr_mul(cn, cn, r2);
+        fr_inv(inv128, cn);
+    }
+    // 128 column MSMs (64 points each, canonical scalars)
+    struct Sc { uint64_t w[4]; };
+    std::vector<HostAff> pts(FK_CELL);
+    std::vector<Sc> sc(FK_CELL);
+    std::vector<Jac<Fp>> h_ext(FK_K2);
+    for (int j = 0; j < FK_K2; j++) {
+        size_t m = 0;
+        for (int i = 0; i < FK_CELL; i++) {
+            if (C.xext_inf[(size_t)j * FK_CELL + i]) continue;
+            Fr scaled;
+            fr_mul(scaled, inv128, coeffs[(size_t)j * FK_CELL + i]);
+            // scaled is raw = canonical
+            if (!(scaled.l[0] | scaled.l[1] | scaled.l[2] | scaled.l[3]))
+                continue;
+            pts[m] = C.xext[(size_t)j * FK_CELL + i];
+            memcpy(sc[m].w, scaled.l, 32);
+            m++;
+        }
+        msm_host(pts.data(), reinterpret_cast<const uint64_t(*)[4]>(sc.data()),
+                 m, h_ext[j]);
+    }
+    // h = IFFT(h_ext) (scale already folded), zero top half, FFT
+    g1_fft_c(h_ext.data(), FK_K2, true,
+             reinterpret_cast<const uint64_t(*)[4]>(C.roots_can.data()));
+    for (int j = FK_K2 / 2; j < FK_K2; j++) h_ext[j] = jac_identity<Fp>();
+    g1_fft_c(h_ext.data(), FK_K2, false,
+             reinterpret_cast<const uint64_t(*)[4]>(C.roots_can.data()));
+    for (int j = 0; j < FK_K2; j++) proofs_out[j] = h_ext[j];
+}
+
+// blob (4096 canonical BE) -> cells (8192 BE, brp order) and/or proofs
+// (128 compressed, brp order). with_proofs: 0 cells only, 1 both,
+// 2 proofs only. Returns 0, or i+1 if blob scalar i is non-canonical.
+extern "C" long kzgn_compute_cells(const uint8_t *blob_be, int with_proofs,
+                                   uint8_t *cells_out, uint8_t *proofs_out) {
+    if (!g_fk20.ready) return -100;
+    const Fk20Ctx &C = g_fk20;
+    std::vector<Fr> poly(FK_FE);
+    for (int i = 0; i < FK_N; i++)
+        if (!fr_raw_from_be(poly[i], blob_be + 32 * i)) return (long)(i + 1);
+    for (int i = FK_N; i < FK_FE; i++) memset(&poly[i], 0, sizeof(Fr));
+    // lagrange (brp evals) -> monomial: rbo + inverse FFT over 4096
+    rbo_c(poly.data(), FK_N);
+    fr_fft_c(poly.data(), FK_N, true, C.roots_mont.data());
+    if (with_proofs != 2 && cells_out) {
+        std::vector<Fr> ext(poly);
+        fr_fft_c(ext.data(), FK_FE, false, C.roots_mont.data());
+        rbo_c(ext.data(), FK_FE);
+        for (int i = 0; i < FK_FE; i++)
+            for (int w = 0; w < 4; w++)
+                for (int j = 0; j < 8; j++)
+                    cells_out[32 * i + (3 - w) * 8 + j] =
+                        (uint8_t)(ext[i].l[w] >> (56 - 8 * j));
+    }
+    if (with_proofs && proofs_out) {
+        std::vector<Jac<Fp>> proofs(FK_K2);
+        fk20_proofs_c(poly.data(), proofs.data());
+        rbo_c(proofs.data(), FK_K2);
+        for (int j = 0; j < FK_K2; j++) {
+            Fp x, y;
+            bool inf = !jac_to_affine(x, y, proofs[j]);
+            g1_compress(proofs_out + 48 * j, x, y, inf);
+        }
+    }
+    return 0;
+}
+
+// Erasure recovery (parity: recover_cells das.rs:549-616). cell_indices
+// ascending unique, n_have in [64, 128). cells_be: n_have*64 scalars.
+// recovered_out: 8192 canonical BE (brp cell order); proofs_out optional
+// (128 compressed). Returns 0, i+1 bad cell scalar, -1 structural.
+extern "C" long kzgn_recover_cells(const uint32_t *cell_indices, size_t n_have,
+                                   const uint8_t *cells_be,
+                                   uint8_t *recovered_out,
+                                   uint8_t *proofs_out) {
+    if (!g_fk20.ready) return -100;
+    const Fk20Ctx &C = g_fk20;
+    std::vector<Fr> cells(FK_FE);
+    std::vector<uint8_t> have(FK_K2, 0);
+    for (size_t i = 0; i < n_have; i++) {
+        uint32_t ci = cell_indices[i];
+        if (ci >= (uint32_t)FK_K2) return -1;
+        if (have[ci]) return -1;
+        have[ci] = 1;
+        for (int k = 0; k < FK_CELL; k++)
+            if (!fr_raw_from_be(cells[(size_t)ci * FK_CELL + k],
+                                cells_be + (i * FK_CELL + k) * 32))
+                return (long)(i * FK_CELL + k + 1);
+    }
+    std::vector<Fr> out(FK_FE);
+    if (n_have == (size_t)FK_K2) {
+        out = cells;
+    } else {
+        // cells_brp = rbo(full vector); missing pattern per ELEMENT follows
+        // the cell it lands in
+        std::vector<Fr> cells_brp(cells);
+        rbo_c(cells_brp.data(), FK_FE);
+        std::vector<uint8_t> have_brp(FK_FE);
+        {
+            std::vector<uint8_t> he(FK_FE);
+            for (int c = 0; c < FK_K2; c++)
+                for (int k = 0; k < FK_CELL; k++)
+                    he[(size_t)c * FK_CELL + k] = have[c];
+            rbo_c(he.data(), FK_FE);
+            have_brp = he;
+        }
+        // vanishing polynomial for missing cells
+        std::vector<uint32_t> missing_rbl;
+        for (uint32_t c = 0; c < (uint32_t)FK_K2; c++)
+            if (!have[c]) {
+                uint32_t rbl = 0;
+                for (int b = 0; b < 7; b++) rbl |= ((c >> b) & 1) << (6 - b);
+                missing_rbl.push_back(rbl);
+            }
+        if (missing_rbl.size() > (size_t)FK_K2 / 2) return -1;
+        // short vanishing poly over roots h_k = roots[idx * stride],
+        // stride = FE / K2 = 64
+        size_t nm = missing_rbl.size();
+        // product of (x - r_i) in Montgomery coefficients: monic recurrence
+        // new[j] = old[j]*(-r_i) + old[j-1], walked from the top so old
+        // values are read before being overwritten.
+        std::vector<Fr> short_vp(nm + 1);
+        for (size_t i = 0; i <= nm; i++) memset(&short_vp[i], 0, sizeof(Fr));
+        short_vp[0] = fr_one_mont();
+        Fr fr_zero_v;
+        memset(&fr_zero_v, 0, sizeof fr_zero_v);
+        size_t cur = 0;  // current degree
+        for (size_t i = 0; i < nm; i++) {
+            Fr nr;
+            fr_sub(nr, fr_zero_v, C.roots_mont[(size_t)missing_rbl[i] * FK_CELL]);
+            for (size_t j = cur + 1; j + 1 > 0; j--) {
+                Fr t;
+                fr_mul(t, short_vp[j], nr);          // mont * mont = mont
+                if (j > 0) fr_add(t, t, short_vp[j - 1]);
+                short_vp[j] = t;
+                if (j == 0) break;
+            }
+            cur++;
+        }
+        // stretch: vanishing_poly[i*CELL] = short_vp[i]
+        std::vector<Fr> vp(FK_FE);
+        for (auto &f : vp) memset(&f, 0, sizeof(Fr));
+        for (size_t i = 0; i <= nm; i++) vp[i * FK_CELL] = short_vp[i];
+        // vanishing eval (forward FFT). Values are Montgomery here; the
+        // FFT only multiplies by Montgomery twiddles -> stays Montgomery.
+        std::vector<Fr> vp_eval(vp);
+        fr_fft_c(vp_eval.data(), FK_FE, false, C.roots_mont.data());
+        // (evals)*(vanishing eval): missing -> 0
+        std::vector<Fr> ez(FK_FE);
+        for (int i = 0; i < FK_FE; i++) {
+            if (!have_brp[i]) {
+                memset(&ez[i], 0, sizeof(Fr));
+            } else {
+                fr_mul(ez[i], vp_eval[i], cells_brp[i]);  // mont*raw = raw
+            }
+        }
+        fr_fft_c(ez.data(), FK_FE, true, C.roots_mont.data());
+        // coset (shift by 7) forward FFT of ez and vp
+        Fr seven, r2;
+        memset(&seven, 0, sizeof seven);
+        seven.l[0] = 7;
+        memcpy(r2.l, FR_R2, 32);
+        fr_mul(seven, seven, r2);  // Montgomery(7)
+        auto shift_poly = [&](Fr *p, const Fr &factor) {
+            Fr pw = fr_one_mont();
+            for (int i = 0; i < FK_FE; i++) {
+                Fr t;
+                fr_mul(t, pw, p[i]);
+                p[i] = t;
+                Fr np;
+                fr_mul(np, pw, factor);
+                pw = np;
+            }
+        };
+        shift_poly(ez.data(), seven);            // raw stays raw (mont factor)
+        fr_fft_c(ez.data(), FK_FE, false, C.roots_mont.data());
+        std::vector<Fr> vp_coset(vp);
+        shift_poly(vp_coset.data(), seven);      // mont values stay mont
+        fr_fft_c(vp_coset.data(), FK_FE, false, C.roots_mont.data());
+        // batch-invert vp_coset (Montgomery values, none zero on the coset)
+        {
+            std::vector<Fr> pref(FK_FE);
+            pref[0] = vp_coset[0];
+            for (int i = 1; i < FK_FE; i++)
+                fr_mul(pref[i], pref[i - 1], vp_coset[i]);
+            Fr acc;
+            fr_inv(acc, pref[FK_FE - 1]);  // mont(1/prod)
+            for (int i = FK_FE; i-- > 0;) {
+                Fr invd;
+                if (i == 0)
+                    invd = acc;
+                else
+                    fr_mul(invd, acc, pref[i - 1]);
+                fr_mul(acc, acc, vp_coset[i]);
+                vp_coset[i] = invd;  // mont(1/v)
+            }
+        }
+        for (int i = 0; i < FK_FE; i++) {
+            Fr t;
+            fr_mul(t, vp_coset[i], ez[i]);  // mont * raw = raw
+            ez[i] = t;
+        }
+        // coset ifft: inverse fft then shift by 1/7
+        fr_fft_c(ez.data(), FK_FE, true, C.roots_mont.data());
+        Fr inv7;
+        fr_inv(inv7, seven);
+        shift_poly(ez.data(), inv7);
+        // final: forward FFT -> extended evals, rbo
+        fr_fft_c(ez.data(), FK_FE, false, C.roots_mont.data());
+        rbo_c(ez.data(), FK_FE);
+        out = ez;
+        // splice the provided cells back verbatim (bit-exactness: the
+        // reconstruction is exact, but copying provided data avoids any
+        // doubt and matches the reference's output array semantics)
+        for (int c = 0; c < FK_K2; c++)
+            if (have[c])
+                for (int k = 0; k < FK_CELL; k++)
+                    out[(size_t)c * FK_CELL + k] = cells[(size_t)c * FK_CELL + k];
+    }
+    for (int i = 0; i < FK_FE; i++)
+        for (int w = 0; w < 4; w++)
+            for (int j = 0; j < 8; j++)
+                recovered_out[32 * i + (3 - w) * 8 + j] =
+                    (uint8_t)(out[i].l[w] >> (56 - 8 * j));
+    if (proofs_out) {
+        // monomial of the recovered extended evals, then FK20
+        std::vector<Fr> poly(out);
+        rbo_c(poly.data(), FK_FE);
+        fr_fft_c(poly.data(), FK_FE, true, C.roots_mont.data());
+        std::vector<Jac<Fp>> proofs(FK_K2);
+        fk20_proofs_c(poly.data(), proofs.data());
+        rbo_c(proofs.data(), FK_K2);
+        for (int j = 0; j < FK_K2; j++) {
+            Fp x, y;
+            bool inf = !jac_to_affine(x, y, proofs[j]);
+            g1_compress(proofs_out + 48 * j, x, y, inf);
+        }
+    }
+    return 0;
+}
+
 // Fused batch-verification host tail: decompress commitments + proofs (fast
 // subgroup checks), build the two folded linear combinations
 //   lhs = sum_i r_i proof_i
