@@ -27,7 +27,7 @@ def _load():
             try:
                 lib = ctypes.CDLL(p)
                 lib.kzgn_version.restype = ctypes.c_int
-                if lib.kzgn_version() != 4:
+                if lib.kzgn_version() != 5:
                     continue
                 lib.kzgn_sha256.argtypes = [
                     ctypes.c_char_p,

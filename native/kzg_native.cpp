@@ -4098,6 +4098,6 @@ int kzgn_verify_blob_batch_tail(const uint8_t *commitments_comp,
     return fp12_is_one(e) ? 1 : 0;
 }
 
-int kzgn_version() { return 4; }
+int kzgn_version() { return 5; }
 
 }  // extern "C"
