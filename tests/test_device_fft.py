@@ -66,8 +66,8 @@ def test_scan_form_matches_staged():
     rng = np.random.RandomState(5)
     vals = FR.encode([int(x) % R for x in rng.randint(0, 2**62, 256)])
     for inverse in (False, True):
-        a = np.asarray(F._fft_jit(vals, inverse, False, False))
-        b = np.asarray(F._fft_jit(vals, inverse, False, True))
+        a = np.asarray(F._fft_jit(vals, inverse, False, False, False))
+        b = np.asarray(F._fft_jit(vals, inverse, False, True, False))
         assert (a == b).all()
 
 
