@@ -1,0 +1,132 @@
+"""Consensus-vector sweeps through the HOST-native fast paths.
+
+The protocol entry points route latency-shaped ops through
+native/kzg_native.cpp on this rig (see PERF.md "placement by shape");
+these tests pin that routing against every consensus vector of the
+affected categories, independent of any device/TPU availability. The
+device-path variants live in tests/test_vectors_*_device.py.
+"""
+
+import os
+
+import pytest
+
+from kzg_tpu import native
+from kzg_tpu.utils.vectors import load_vectors, unhex
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (native/build.sh)"
+)
+
+
+@pytest.fixture(scope="module")
+def s():
+    from kzg_tpu.settings import load_settings
+
+    return load_settings()
+
+
+def _run_category(category, runner, want_shape):
+    nrun = 0
+    for name, inp, want in load_vectors(category):
+        try:
+            got = runner(inp)
+        except Exception:
+            got = None
+        assert want_shape(got, want), (category, name, got, want)
+        nrun += 1
+    assert nrun > 0
+    return nrun
+
+
+def test_verify_cell_kzg_proof_batch_host(s):
+    from kzg_tpu import eip7594 as e7
+
+    assert os.environ.get("KZG_TPU_HOST_7594", "1") == "1"
+    _run_category(
+        "verify_cell_kzg_proof_batch",
+        lambda inp: e7.verify_cell_kzg_proof_batch(
+            [unhex(c) for c in inp["commitments"]],
+            list(inp["cell_indices"]),
+            [unhex(c) for c in inp["cells"]],
+            [unhex(p) for p in inp["proofs"]],
+            s,
+        ),
+        lambda got, want: got == want if want is not None else got is None,
+    )
+
+
+def test_compute_cells_and_kzg_proofs_host(s):
+    from kzg_tpu import eip7594 as e7
+
+    def run(inp):
+        cells, proofs = e7.compute_cells_and_kzg_proofs(unhex(inp["blob"]), s)
+        return list(cells), list(proofs)
+
+    def check(got, want):
+        if want is None:
+            return got is None
+        return got == ([unhex(c) for c in want[0]], [unhex(p) for p in want[1]])
+
+    _run_category("compute_cells_and_kzg_proofs", run, check)
+
+
+def test_recover_cells_and_kzg_proofs_host(s):
+    from kzg_tpu import eip7594 as e7
+
+    def run(inp):
+        cells, proofs = e7.recover_cells_and_kzg_proofs(
+            list(inp["cell_indices"]), [unhex(c) for c in inp["cells"]], s
+        )
+        return list(cells), list(proofs)
+
+    def check(got, want):
+        if want is None:
+            return got is None
+        return got == ([unhex(c) for c in want[0]], [unhex(p) for p in want[1]])
+
+    _run_category("recover_cells_and_kzg_proofs", run, check)
+
+
+def test_verify_kzg_proof_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    _run_category(
+        "verify_kzg_proof",
+        lambda inp: e4.verify_kzg_proof(
+            unhex(inp["commitment"]),
+            unhex(inp["z"]),
+            unhex(inp["y"]),
+            unhex(inp["proof"]),
+            s,
+        ),
+        lambda got, want: got == want if want is not None else got is None,
+    )
+
+
+def test_verify_blob_kzg_proof_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    _run_category(
+        "verify_blob_kzg_proof",
+        lambda inp: e4.verify_blob_kzg_proof(
+            unhex(inp["blob"]), unhex(inp["commitment"]), unhex(inp["proof"]), s
+        ),
+        lambda got, want: got == want if want is not None else got is None,
+    )
+
+
+def test_verify_blob_kzg_proof_batch_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    assert os.environ.get("KZG_TPU_HOST_EVAL", "1") == "1"
+    _run_category(
+        "verify_blob_kzg_proof_batch",
+        lambda inp: e4.verify_blob_kzg_proof_batch(
+            [unhex(b) for b in inp["blobs"]],
+            [unhex(c) for c in inp["commitments"]],
+            [unhex(p) for p in inp["proofs"]],
+            s,
+        ),
+        lambda got, want: got == want if want is not None else got is None,
+    )
