@@ -117,15 +117,16 @@ if want("fft"):
                 y = dfft.fft(x)
             fence(y)
             dt_roll = (time.perf_counter() - t0) / 10
-        # Pallas kernel
+        # Pallas kernel (jitted, as the production path calls it)
         ok_pallas = pallas_fft.enabled() and pallas_fft.supported(1 << p)
         dt_pal = float("nan")
         if ok_pallas:
-            y = pallas_fft.fft_pallas(x)
+            pal = jax.jit(pallas_fft.fft_pallas)
+            y = pal(x)
             fence(y)
             t0 = time.perf_counter()
             for _ in range(10):
-                y = pallas_fft.fft_pallas(x)
+                y = pal(x)
             fence(y)
             dt_pal = (time.perf_counter() - t0) / 10
         log(

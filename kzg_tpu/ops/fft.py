@@ -230,9 +230,11 @@ def fft_body(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         from . import pallas_fft
 
         if pallas_fft.active(n):
-            # VMEM-resident stage groups on TPU: ~10x the XLA stage network,
-            # and the traced graph collapses to two custom calls (also
-            # shrinking the fused EIP-7594 programs' compile footprint)
+            # VMEM-resident stage groups on TPU. Measured A/B vs the XLA
+            # roll network (round 5, pipelined x10): 5.00 vs 5.34 ms at
+            # 2^12 but 16.3 vs 12.6 ms at 2^15 -- the multi-tile stage
+            # kernels lose above 2^13, so pallas_fft caps MAX_LOG_N there
+            # and the roll form serves the larger sizes.
             return pallas_fft.fft_pallas(x, inverse)
     if _COMPACT[0] and n > 1:
         return _fft_scan_body(x, inverse)

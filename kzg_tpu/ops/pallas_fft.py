@@ -56,7 +56,12 @@ RB = 4  # row bits (16 sublane rows)
 
 # n above this falls back to the XLA path: kernel C's per-program block is
 # (L, T, 128) and its mont_mul live set grows linearly with T = n / 2^11.
-MAX_LOG_N = 17
+# Kernel C's per-stage tile kernels lose to the XLA roll network above
+# 2^13 (round-5 A/B: 16.3 vs 12.6 ms pipelined at 2^15); the kernel serves
+# the sizes where its VMEM residency wins. KZG_TPU_PALLAS_FFT_MAX overrides
+# the routing cap for tuning; HARD_MAX_LOG_N is the capability limit.
+HARD_MAX_LOG_N = 17
+MAX_LOG_N = int(os.environ.get("KZG_TPU_PALLAS_FFT_MAX", "13"))
 MIN_LOG_N = 7
 
 _FORCE_OFF = [False]
@@ -92,12 +97,16 @@ def enabled() -> bool:
 
 
 def supported(n: int) -> bool:
+    """Capability limit of the kernel (what it can compile and run)."""
     log_n = n.bit_length() - 1
-    return (1 << log_n) == n and MIN_LOG_N <= log_n <= MAX_LOG_N
+    return (1 << log_n) == n and MIN_LOG_N <= log_n <= HARD_MAX_LOG_N
 
 
 def active(n: int) -> bool:
-    return supported(n) and enabled()
+    """Routing decision: capability AND the measured win window
+    (MAX_LOG_N; above it the XLA roll network is faster)."""
+    log_n = n.bit_length() - 1
+    return supported(n) and log_n <= MAX_LOG_N and enabled()
 
 
 def _interpret() -> bool:

@@ -44,6 +44,21 @@ try:
 except Exception:
     pass
 
+# KZG_TPU_TESTS_CPU=1 pins the whole test session to the (8-virtual-device)
+# CPU platform at the CONFIG level. The env var alone is not enough in axon
+# sessions: the site hook force-sets jax_platforms="axon,cpu" at interpreter
+# start, and the remote TPU compile service has been observed to wedge
+# mid-suite on large programs -- local XLA:CPU compiles are slower but
+# bounded, and the persistent cache makes them one-time.
+if os.environ.get("KZG_TPU_TESTS_CPU") == "1":
+    try:
+        import jax as _jax2
+
+        if _jax2.config.jax_platforms != "cpu":
+            _jax2.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import pytest
 
 
