@@ -29,13 +29,23 @@ note "gate 1/4: native build + C ABI binary"
     >> "$LOGDIR/gates_${STAMP}_native.log" 2>&1 || FAIL=1
 [ "$FAIL" = 0 ] && note "  native OK" || note "  native FAILED (see gates_${STAMP}_native.log)"
 
-# --- 2. pytest -------------------------------------------------------------
-note "gate 2/4: pytest (CPU)"
-JAX_PLATFORMS=cpu timeout 7200 python -m pytest tests/ -q \
-    > "$LOGDIR/gates_${STAMP}_pytest.log" 2>&1
-RC=$?
-tail -2 "$LOGDIR/gates_${STAMP}_pytest.log" >&2
-[ $RC -ne 0 ] && { FAIL=1; note "  pytest FAILED rc=$RC"; }
+# --- 2. pytest (chunked per file) ------------------------------------------
+# The remote TPU compile service has wedged indefinitely mid-session on
+# large programs (round 5, twice); per-file invocations bound the blast
+# radius to one chunk and its timeout. JAX_PLATFORMS=cpu alone does NOT
+# pin the platform in axon sessions (the site hook overrides it) --
+# KZG_TPU_TESTS_CPU=1 pins at the config level for the compile-heavy files.
+note "gate 2/4: pytest (per-file chunks)"
+PYRC=0
+for f in tests/test_*.py; do
+    timeout 2700 python -m pytest "$f" -q \
+        >> "$LOGDIR/gates_${STAMP}_pytest.log" 2>&1
+    RC=$?
+    echo "=== $f rc=$RC" >> "$LOGDIR/gates_${STAMP}_pytest.log"
+    [ $RC -ne 0 ] && PYRC=$RC
+done
+grep -cE "=== .* rc=0" "$LOGDIR/gates_${STAMP}_pytest.log" >&2 || true
+[ $PYRC -ne 0 ] && { FAIL=1; note "  pytest FAILED (see gates_${STAMP}_pytest.log)"; }
 
 # --- 3. multi-chip dryrun (driver-shaped env) ------------------------------
 if [ "${1:-}" != "quick" ]; then
