@@ -454,6 +454,22 @@ def _pad_pow2(chunk, filler):
 
 
 def blob_to_kzg_commitment(blob_bytes: bytes, s: DeviceKZGSettings) -> bytes:
+    # single-op latency path: the host GLV Pippenger (~85 ms) beats a
+    # fenced device round trip (~170 ms) on a remote-attached chip.
+    # KZG_TPU_HOST_SINGLE=0 forces the device program (locally-attached).
+    if len(blob_bytes) != BYTES_PER_BLOB:
+        raise ValueError(
+            f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+            f"got {len(blob_bytes)}"
+        )
+    if (
+        native.available()
+        and os.environ.get("KZG_TPU_HOST_SINGLE", "1") == "1"
+        and s.ensure_native_commit()
+    ):
+        out = native.blob_commit(blob_bytes)
+        if out is not None:
+            return out
     return blob_to_kzg_commitment_batch([blob_bytes], s)[0]
 
 
@@ -510,6 +526,23 @@ def blob_to_kzg_commitment_batch(
 def compute_kzg_proof(
     blob_bytes: bytes, z_bytes: bytes, s: DeviceKZGSettings
 ) -> Tuple[bytes, bytes]:
+    if len(blob_bytes) != BYTES_PER_BLOB:
+        raise ValueError(
+            f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+            f"got {len(blob_bytes)}"
+        )
+    if len(z_bytes) != 32:
+        raise ValueError("Invalid field element length")
+    if (
+        native.available()
+        and os.environ.get("KZG_TPU_HOST_SINGLE", "1") == "1"
+        and s.ensure_native_commit()
+    ):
+        out = native.compute_kzg_proof_host(
+            blob_bytes, int.from_bytes(z_bytes, "big"), s.roots_brp_mont_bytes
+        )
+        if out is not None:
+            return out
     z = bs.fr_from_bytes(z_bytes)  # (16, 1)
     t = s.lagrange_table
     # one packed upload ([poly | z] concatenated, limb pairs packed to u32)
@@ -537,6 +570,26 @@ def compute_kzg_proof(
 def compute_blob_kzg_proof(
     blob_bytes: bytes, commitment_bytes: bytes, s: DeviceKZGSettings
 ) -> bytes:
+    if len(commitment_bytes) != 48:
+        raise ValueError("Invalid commitment length")
+    if len(blob_bytes) != BYTES_PER_BLOB:
+        raise ValueError(
+            f"Invalid blob: Invalid byte length. Expected {BYTES_PER_BLOB} "
+            f"got {len(blob_bytes)}"
+        )
+    if (
+        native.available()
+        and os.environ.get("KZG_TPU_HOST_SINGLE", "1") == "1"
+        and s.ensure_native_commit()
+    ):
+        # the commitment must still be a valid point (BADARGS otherwise)
+        native.g1_decompress_batch(commitment_bytes)
+        z = compute_challenge(blob_bytes, commitment_bytes)
+        out = native.compute_kzg_proof_host(
+            blob_bytes, z, s.roots_brp_mont_bytes
+        )
+        if out is not None:
+            return out[0]
     return compute_blob_kzg_proof_batch([blob_bytes], [commitment_bytes], s)[0]
 
 

@@ -49,6 +49,9 @@ def _load():
                 lib.kzgn_fk20_init.restype = ctypes.c_int
                 lib.kzgn_compute_cells.restype = ctypes.c_long
                 lib.kzgn_recover_cells.restype = ctypes.c_long
+                lib.kzgn_commit_init.restype = ctypes.c_int
+                lib.kzgn_blob_commit.restype = ctypes.c_long
+                lib.kzgn_compute_kzg_proof.restype = ctypes.c_long
                 return lib
             except OSError:
                 continue
@@ -346,6 +349,60 @@ def recover_cells(cell_indices: List[int], cells_wire: bytes, with_proofs: bool)
     if rc != 0:
         return None
     return rec.raw, (proofs.raw if with_proofs else None)
+
+
+_commit_ready = False
+
+
+def commit_init(points_xy: bytes, points_inf: bytes, n: int) -> bool:
+    """Register the Lagrange-brp setup with the native host MSM (single-op
+    commit/prove path). Idempotent; False when unavailable."""
+    global _commit_ready
+    if _lib is None:
+        return False
+    if _commit_ready:
+        return True
+    rc = _lib.kzgn_commit_init(points_xy, points_inf, ctypes.c_size_t(n))
+    if rc != 0:
+        raise ValueError("commit_init: invalid setup points")
+    _commit_ready = True
+    return True
+
+
+def blob_commit(blob_bytes: bytes) -> Optional[bytes]:
+    """Single-blob commitment on the host (GLV Pippenger over the
+    registered setup, ~85 ms). None when unavailable; ValueError on a
+    non-canonical scalar."""
+    if _lib is None or not _commit_ready:
+        return None
+    out = ctypes.create_string_buffer(48)
+    rc = _lib.kzgn_blob_commit(blob_bytes, out)
+    if rc > 0:
+        raise ValueError("Invalid blob: scalar is not canonical")
+    if rc != 0:
+        return None
+    return out.raw
+
+
+def compute_kzg_proof_host(
+    blob_bytes: bytes, z: int, roots_brp_mont: bytes
+) -> Optional[Tuple[bytes, bytes]]:
+    """(proof, y) for one blob at z, fully on the host (barycentric + the
+    in-domain quotient branch + 4096-point MSM). None when unavailable."""
+    if _lib is None or not _commit_ready:
+        return None
+    proof = ctypes.create_string_buffer(48)
+    y = ctypes.create_string_buffer(32)
+    rc = _lib.kzgn_compute_kzg_proof(
+        blob_bytes, z.to_bytes(32, "big"), roots_brp_mont, proof, y
+    )
+    if rc > 0:
+        raise ValueError("Invalid blob: scalar is not canonical")
+    if rc == -1:
+        raise ValueError("bytes_to_bls_field: scalar not canonical")
+    if rc != 0:
+        return None
+    return proof.raw, y.raw
 
 
 def g1_in_subgroup(pt: Affine, fast: bool = True) -> bool:

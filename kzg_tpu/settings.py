@@ -151,6 +151,30 @@ class DeviceKZGSettings:
                     inf.append(0)
         return bytes(xy), bytes(inf)
 
+    @cached_property
+    def lagrange_host(self) -> tuple:
+        """Lagrange-brp setup points as (affine-BE bytes, inf flags) for the
+        native single-op commit/prove MSM."""
+        xy = bytearray()
+        inf = bytearray()
+        for p in self.oracle.g1_lagrange_brp:
+            if p is None:
+                xy += bytes(96)
+                inf.append(1)
+            else:
+                xy += p[0].to_bytes(48, "big") + p[1].to_bytes(48, "big")
+                inf.append(0)
+        return bytes(xy), bytes(inf)
+
+    def ensure_native_commit(self) -> bool:
+        """Register the Lagrange setup with the native host MSM (idempotent)."""
+        from . import native as _native
+
+        if not _native.available():
+            return False
+        xy, inf = self.lagrange_host
+        return _native.commit_init(xy, inf, len(self.oracle.g1_lagrange_brp))
+
     def ensure_native_fk20(self) -> bool:
         """Register the FK20 context with the native engine (idempotent)."""
         from . import native as _native

@@ -3955,6 +3955,149 @@ extern "C" long kzgn_recover_cells(const uint32_t *cell_indices, size_t n_have,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Host single-blob commit/prove (parity: blob_to_kzg_commitment_rust
+// eip_4844.rs:278-295, compute_kzg_proof_rust :437-519). Single-op latency
+// on a remote-attached chip is round-trip bound (~170-270 ms fenced); the
+// host GLV Pippenger does the 4096-point MSM in ~85 ms. Batch paths stay
+// on the device where the Pallas pipeline amortizes to ~10-15 ms/blob.
+// ---------------------------------------------------------------------------
+
+static std::vector<HostAff> g_commit_pts;   // lagrange-brp setup, affine
+static std::vector<uint8_t> g_commit_inf;
+static bool g_commit_ready = false;
+
+extern "C" int kzgn_commit_init(const uint8_t *xy, const uint8_t *inf, size_t n) {
+    g_commit_pts.resize(n);
+    g_commit_inf.assign(inf, inf + n);
+    for (size_t i = 0; i < n; i++) {
+        if (g_commit_inf[i]) continue;
+        if (!fp_from_be(g_commit_pts[i].x, xy + 96 * i) ||
+            !fp_from_be(g_commit_pts[i].y, xy + 96 * i + 48))
+            return -1;
+    }
+    g_commit_ready = true;
+    return 0;
+}
+
+// MSM of the registered base against 4096 raw scalars; out = compressed.
+static long commit_msm(const Fr *scalars, uint8_t out[48]) {
+    const size_t n = g_commit_pts.size();
+    struct Sc { uint64_t w[4]; };
+    static thread_local std::vector<HostAff> pts;
+    static thread_local std::vector<Sc> sc;
+    pts.resize(n);
+    sc.resize(n);
+    size_t m = 0;
+    for (size_t i = 0; i < n; i++) {
+        if (g_commit_inf[i]) continue;
+        const Fr &s = scalars[i];
+        if (!(s.l[0] | s.l[1] | s.l[2] | s.l[3])) continue;
+        pts[m] = g_commit_pts[i];
+        memcpy(sc[m].w, s.l, 32);
+        m++;
+    }
+    Jac<Fp> acc;
+    msm_host(pts.data(), reinterpret_cast<const uint64_t(*)[4]>(sc.data()), m, acc);
+    Fp x, y;
+    bool is_inf = !jac_to_affine(x, y, acc);
+    g1_compress(out, x, y, is_inf);
+    return 0;
+}
+
+extern "C" long kzgn_blob_commit(const uint8_t *blob_be, uint8_t out[48]) {
+    if (!g_commit_ready || g_commit_pts.size() != 4096) return -100;
+    std::vector<Fr> p(4096);
+    for (int i = 0; i < 4096; i++)
+        if (!fr_raw_from_be(p[i], blob_be + 32 * i)) return (long)(i + 1);
+    return commit_msm(p.data(), out);
+}
+
+// proof + y for a single blob at z. roots_mont: the 4096 brp Montgomery
+// roots table. Returns 0, i+1 bad blob scalar, -1 bad z.
+extern "C" long kzgn_compute_kzg_proof(const uint8_t *blob_be,
+                                       const uint8_t z_be[32],
+                                       const uint8_t *roots_mont,
+                                       uint8_t proof_out[48],
+                                       uint8_t y_out[32]) {
+    if (!g_commit_ready || g_commit_pts.size() != 4096) return -100;
+    const int N = 4096;
+    const Fr *roots = reinterpret_cast<const Fr *>(roots_mont);
+    Fr z;
+    if (!fr_from_be(z, z_be)) return -1;
+    std::vector<Fr> p(N), diff(N), invd(N), pref(N), q(N);
+    for (int i = 0; i < N; i++)
+        if (!fr_raw_from_be(p[i], blob_be + 32 * i)) return (long)(i + 1);
+    Fr one = fr_one_mont();
+    int dom = -1;
+    for (int i = 0; i < N; i++) {
+        fr_sub(diff[i], z, roots[i]);
+        if (fr_is_zero(diff[i])) {
+            dom = i;
+            diff[i] = one;
+        }
+    }
+    // batch inversion: invd[i] = mont(1/(z - w_i)) (or mont(1) at dom)
+    pref[0] = diff[0];
+    for (int i = 1; i < N; i++) fr_mul(pref[i], pref[i - 1], diff[i]);
+    Fr acc;
+    fr_inv(acc, pref[N - 1]);
+    for (int i = N; i-- > 0;) {
+        if (i == 0)
+            invd[0] = acc;
+        else
+            fr_mul(invd[i], acc, pref[i - 1]);
+        fr_mul(acc, acc, diff[i]);
+    }
+    // y (barycentric or in-domain)
+    Fr y;
+    if (dom >= 0) {
+        y = p[dom];
+    } else {
+        Fr ysum;
+        memset(&ysum, 0, sizeof ysum);
+        for (int i = 0; i < N; i++) {
+            Fr w, t;
+            fr_mul(w, roots[i], invd[i]);   // mont
+            fr_mul(t, w, p[i]);             // raw
+            fr_add(ysum, ysum, t);
+        }
+        Fr zp = z, fac, invn;
+        for (int k = 0; k < 12; k++) fr_mul(zp, zp, zp);
+        fr_sub(fac, zp, one);
+        memcpy(invn.l, FR_INV4096_MONT, 32);
+        fr_mul(ysum, fac, ysum);
+        fr_mul(y, invn, ysum);              // raw
+    }
+    // quotient q_i = (p_i - y)/(w_i - z) = (y - p_i) * inv(z - w_i)
+    for (int i = 0; i < N; i++) {
+        Fr ymp;
+        fr_sub(ymp, y, p[i]);               // raw
+        fr_mul(q[i], invd[i], ymp);         // mont * raw = raw
+    }
+    if (dom >= 0) {
+        // q_dom = sum_{i != dom} (p_i - y) * w_i * inv(z*(z - w_i))
+        Fr s, zinv;
+        memset(&s, 0, sizeof s);
+        for (int i = 0; i < N; i++) {
+            if (i == dom) continue;
+            Fr pmy, t, w;
+            fr_sub(pmy, p[i], y);           // raw
+            fr_mul(w, roots[i], invd[i]);   // mont
+            fr_mul(t, w, pmy);              // raw
+            fr_add(s, s, t);
+        }
+        fr_inv(zinv, z);                    // mont(1/z)
+        fr_mul(q[dom], zinv, s);            // raw
+    }
+    long rc = commit_msm(q.data(), proof_out);
+    if (rc) return rc;
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 8; j++)
+            y_out[(3 - i) * 8 + j] = (uint8_t)(y.l[i] >> (56 - 8 * j));
+    return 0;
+}
+
 // Fused batch-verification host tail: decompress commitments + proofs (fast
 // subgroup checks), build the two folded linear combinations
 //   lhs = sum_i r_i proof_i

@@ -88,6 +88,43 @@ def test_recover_cells_and_kzg_proofs_host(s):
     _run_category("recover_cells_and_kzg_proofs", run, check)
 
 
+def test_blob_to_kzg_commitment_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    assert os.environ.get("KZG_TPU_HOST_SINGLE", "1") == "1"
+    _run_category(
+        "blob_to_kzg_commitment",
+        lambda inp: e4.blob_to_kzg_commitment(unhex(inp["blob"]), s),
+        lambda got, want: got == unhex(want) if want is not None else got is None,
+    )
+
+
+def test_compute_kzg_proof_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    _run_category(
+        "compute_kzg_proof",
+        lambda inp: e4.compute_kzg_proof(unhex(inp["blob"]), unhex(inp["z"]), s),
+        lambda got, want: (
+            got == (unhex(want[0]), unhex(want[1]))
+            if want is not None
+            else got is None
+        ),
+    )
+
+
+def test_compute_blob_kzg_proof_host(s):
+    from kzg_tpu import eip4844 as e4
+
+    _run_category(
+        "compute_blob_kzg_proof",
+        lambda inp: e4.compute_blob_kzg_proof(
+            unhex(inp["blob"]), unhex(inp["commitment"]), s
+        ),
+        lambda got, want: got == unhex(want) if want is not None else got is None,
+    )
+
+
 def test_verify_kzg_proof_host(s):
     from kzg_tpu import eip4844 as e4
 
