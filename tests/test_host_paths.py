@@ -153,6 +153,41 @@ def test_verify_blob_kzg_proof_host(s):
     )
 
 
+def test_host_pipeline_fuzz(s):
+    """One random full-pipeline round: host commit/proof vs the oracle,
+    verify round trips with tampering, FK20 cells+proofs self-verification,
+    and random-subset erasure recovery equality. KZG_FUZZ_SEED varies the
+    case."""
+    import random
+
+    from kzg_tpu import eip4844 as e4, eip7594 as e7
+    from kzg_tpu.constants import R_MOD as R
+    from kzg_tpu.oracle import eip4844 as okzg
+
+    s.ensure_native_commit()
+    s.ensure_native_fk20()
+    rng = random.Random(int(os.environ.get("KZG_FUZZ_SEED", "7")))
+    blob = b"".join(rng.randrange(R).to_bytes(32, "big") for _ in range(4096))
+    c = e4.blob_to_kzg_commitment(blob, s)
+    assert c == okzg.blob_to_kzg_commitment(blob, s.oracle)
+    zb = rng.randrange(R).to_bytes(32, "big")
+    p, y = e4.compute_kzg_proof(blob, zb, s)
+    assert (p, y) == okzg.compute_kzg_proof(blob, zb, s.oracle)
+    assert e4.verify_kzg_proof(c, zb, y, p, s) is True
+    y_bad = ((int.from_bytes(y, "big") + 1) % R).to_bytes(32, "big")
+    assert e4.verify_kzg_proof(c, zb, y_bad, p, s) is False
+    cells, proofs = e7.compute_cells_and_kzg_proofs(blob, s)
+    assert (
+        e7.verify_cell_kzg_proof_batch([c] * 128, list(range(128)), cells, proofs, s)
+        is True
+    )
+    have = sorted(rng.sample(range(128), rng.randrange(64, 100)))
+    rc_cells, rc_proofs = e7.recover_cells_and_kzg_proofs(
+        have, [cells[i] for i in have], s
+    )
+    assert list(rc_cells) == list(cells) and list(rc_proofs) == list(proofs)
+
+
 def test_verify_blob_kzg_proof_batch_host(s):
     from kzg_tpu import eip4844 as e4
 
