@@ -15,6 +15,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
 #include <vector>
 
 #include "constants.h"
@@ -3688,8 +3691,16 @@ extern "C" int kzgn_fk20_init(const uint8_t *xext_xy, const uint8_t *xext_inf,
 // FK20 proofs for a monomial polynomial (first FK_N coeffs used), raw
 // values. proofs_out: FK_K2 Jacobian points in brp order NOT applied
 // (caller reverse_bit_orders).
+static double now_ms() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1e3 + ts.tv_nsec / 1e6;
+}
+
 static void fk20_proofs_c(const Fr *poly_mono, Jac<Fp> *proofs_out) {
     const Fk20Ctx &C = g_fk20;
+    const bool dbg = getenv("KZGN_DEBUG_TIMING") != nullptr;
+    double t0 = dbg ? now_ms() : 0;
     // toeplitz coeff FFTs: coeffs[j][i], i < CELL
     static thread_local std::vector<Fr> coeffs;  // [K2][CELL]
     coeffs.assign((size_t)FK_K2 * FK_CELL, Fr());
@@ -3714,6 +3725,7 @@ static void fk20_proofs_c(const Fr *poly_mono, Jac<Fp> *proofs_out) {
         fr_mul(cn, cn, r2);
         fr_inv(inv128, cn);
     }
+    double t1 = dbg ? now_ms() : 0;
     // 128 column MSMs (64 points each, canonical scalars)
     struct Sc { uint64_t w[4]; };
     std::vector<HostAff> pts(FK_CELL);
@@ -3735,6 +3747,7 @@ static void fk20_proofs_c(const Fr *poly_mono, Jac<Fp> *proofs_out) {
         msm_host(pts.data(), reinterpret_cast<const uint64_t(*)[4]>(sc.data()),
                  m, h_ext[j]);
     }
+    double t2 = dbg ? now_ms() : 0;
     // h = IFFT(h_ext) (scale already folded), zero top half, FFT
     g1_fft_c(h_ext.data(), FK_K2, true,
              reinterpret_cast<const uint64_t(*)[4]>(C.roots_can.data()));
@@ -3742,6 +3755,9 @@ static void fk20_proofs_c(const Fr *poly_mono, Jac<Fp> *proofs_out) {
     g1_fft_c(h_ext.data(), FK_K2, false,
              reinterpret_cast<const uint64_t(*)[4]>(C.roots_can.data()));
     for (int j = 0; j < FK_K2; j++) proofs_out[j] = h_ext[j];
+    if (dbg)
+        fprintf(stderr, "[fk20] toeplitz_ffts=%.1fms column_msms=%.1fms g1_ffts=%.1fms\n",
+                t1 - t0, t2 - t1, now_ms() - t2);
 }
 
 // blob (4096 canonical BE) -> cells (8192 BE, brp order) and/or proofs
